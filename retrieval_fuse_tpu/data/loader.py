@@ -1,0 +1,81 @@
+"""Host-side batching for jitted TPU compute.
+
+Replaces the reference's torch DataLoader (trainer/*.py) with a numpy batcher
+that guarantees STATIC batch shapes — jit compiles once per shape, so the final
+partial batch is padded up to `batch_size` and carries a `valid` count that
+downstream metric/loss code uses to mask the padding.
+
+A background prefetch thread overlaps host slicing/stacking with device compute
+(the TPU equivalent of DataLoader worker processes + pin_memory).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+_STACK_KEYS = ("input", "target", "retrieval", "extent")
+_LIST_KEYS = ("name", "scene")
+
+
+def collate(items: list[dict], batch_size: int) -> dict:
+    """Stack item dicts into one fixed-shape batch, padding by repeating the
+    last item; `valid` is the number of real rows."""
+    valid = len(items)
+    if valid < batch_size:
+        items = items + [items[-1]] * (batch_size - valid)
+    batch = {}
+    for key in _STACK_KEYS:
+        if key in items[0]:
+            batch[key] = np.stack([it[key] for it in items], axis=0)
+    for key in _LIST_KEYS:
+        if key in items[0]:
+            batch[key] = [it[key] for it in items]
+    batch["valid"] = valid
+    return batch
+
+
+def batch_iterator(dataset, batch_size: int, shuffle: bool = False, drop_last: bool = False,
+                   seed: int = 0, prefetch: int = 2):
+    """Yield fixed-shape batches; optionally shuffled, optionally prefetched."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if drop_last:
+        order = order[: (len(order) // batch_size) * batch_size]
+    if len(order) == 0:
+        return
+
+    def produce():
+        for start in range(0, len(order), batch_size):
+            idxs = order[start: start + batch_size]
+            yield collate([dataset[int(i)] for i in idxs], batch_size)
+
+    if prefetch <= 0:
+        yield from produce()
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+    err_holder = []
+
+    def worker():
+        try:
+            for b in produce():
+                q.put(b)
+        except Exception as e:  # surface worker errors on the main thread
+            err_holder.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is sentinel:
+            break
+        yield b
+    if err_holder:
+        raise err_holder[0]

@@ -1,0 +1,99 @@
+"""Exact k-nearest-neighbour search over patch embeddings.
+
+TPU-native replacement for the reference's FLANN kd-tree (util/retrieval.py:49-104):
+the database is a dense (N, D) matrix of L2-normalized embeddings, so the
+nearest neighbours under squared-L2 are exactly the top cosine similarities:
+d²(q, x) = 2 - 2·(q·x). One MXU matmul + lax.top_k replaces the approximate
+C++ kd-tree — exact results AND faster at these scales (N ≤ ~50k, D = 64).
+
+For databases beyond one chip's HBM, `sharded_exact_knn` shards the database
+axis across the mesh and merges per-shard top-k over ICI with one all_gather
+of (devices · k) candidates per query — the designed analog of the reference's
+multiprocessing FLANN fan-out (util/retrieval.py:108-131).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int):
+    """Top-k nearest rows of `database` for each query (both L2-normalized).
+
+    Returns (indices, sq_dists) with sq_dists = 2 - 2·cos, clamped at 0 —
+    the same squared-euclidean distances FLANN reports.
+    """
+    sims = jnp.dot(queries.astype(jnp.float32), database.T.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    top_sims, top_idx = jax.lax.top_k(sims, k)
+    sq_dists = jnp.maximum(2.0 - 2.0 * top_sims, 0.0)
+    return top_idx, sq_dists
+
+
+def sharded_exact_knn(queries, database, k: int, mesh: Mesh, axis: str = "data"):
+    """Exact kNN with the database dimension sharded over `mesh[axis]`.
+
+    Each device scores queries against its database shard (local matmul +
+    local top-k), then the (k · n_devices) candidates are merged — XLA inserts
+    the all-gather over ICI. Queries are replicated; use this when N exceeds
+    per-chip HBM or to scale throughput linearly with chips.
+    """
+    n_dev = mesh.shape[axis]
+    n = database.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        # padding rows are -inf similarity so they never win
+        database = jnp.concatenate([database, jnp.zeros((pad, database.shape[1]), database.dtype)], axis=0)
+    n_padded = database.shape[0]
+
+    db_sharded = jax.device_put(database, NamedSharding(mesh, P(axis, None)))
+    q_repl = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
+
+    def local_topk(q, db_shard):
+        shard_size = db_shard.shape[0]
+        shard_idx = jax.lax.axis_index(axis)
+        sims = jnp.dot(q, db_shard.T, preferred_element_type=jnp.float32)
+        # mask padding rows on the last shard
+        row_ids = shard_idx * shard_size + jnp.arange(shard_size)
+        sims = jnp.where(row_ids[None, :] < n, sims, -jnp.inf)
+        kk = min(k, shard_size)
+        top_sims, top_idx = jax.lax.top_k(sims, kk)
+        top_idx = top_idx + shard_idx * shard_size
+        # gather candidates from all shards, merge
+        all_sims = jax.lax.all_gather(top_sims, axis, axis=1).reshape(q.shape[0], -1)
+        all_idx = jax.lax.all_gather(top_idx, axis, axis=1).reshape(q.shape[0], -1)
+        merged_sims, merged_pos = jax.lax.top_k(all_sims, k)
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return merged_idx, jnp.maximum(2.0 - 2.0 * merged_sims, 0.0)
+
+    fn = jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(None, None), P(axis, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    idx, d = jax.jit(fn)(q_repl.astype(jnp.float32), db_sharded.astype(jnp.float32))
+    del n_padded
+    return idx, d
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def demote_same_scene(top_idx, sq_dists, db_scene_ids, query_scene_ids, k: int):
+    """Stable-demote same-scene hits to the end, then keep the first k.
+
+    Parity: reference util/retrieval.py:94-100 — for train-set queries, hits
+    from the query's own scene are moved (stably) behind all other hits before
+    truncation to K, excluding self-retrieval. Implemented as a stable argsort
+    on the same-scene flag (ties keep distance order).
+    """
+    hit_scenes = db_scene_ids[top_idx]                      # (Q, 2K)
+    is_same = (hit_scenes == query_scene_ids[:, None])
+    order = jnp.argsort(is_same.astype(jnp.int32), axis=1, stable=True)
+    reordered_idx = jnp.take_along_axis(top_idx, order, axis=1)
+    reordered_d = jnp.take_along_axis(sq_dists, order, axis=1)
+    return reordered_idx[:, :k], reordered_d[:, :k]
