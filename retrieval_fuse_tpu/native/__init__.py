@@ -1,0 +1,86 @@
+"""Native (C++) components with ctypes bindings.
+
+Builds lazily with g++ on first use; the compiled .so is cached next to the
+source. Components:
+  * marching_cubes: host isosurface extraction (counterpart of the
+    reference's marching_cubes C++ extension, util/visualization.py:1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _NATIVE_DIR / "libretrievalfuse_native.so"
+_SOURCES = ["marching_cubes.cpp"]
+
+_lib = None
+
+
+def _build() -> Path:
+    srcs = [str(_NATIVE_DIR / s) for s in _SOURCES]
+    newest_src = max(Path(s).stat().st_mtime for s in srcs)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= newest_src:
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           *srcs, "-o", str(_LIB_PATH)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(str(_build()))
+        lib.mc_extract.restype = ctypes.c_int
+        lib.mc_extract.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.mc_free.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    return _lib
+
+
+def marching_cubes(sdf: np.ndarray, level: float):
+    """Isosurface of a 3-D float grid at `level` -> (verts (V,3) f32, tris (T,3) i32).
+
+    Vertex coordinates are in voxel-index units (same convention as the
+    reference's mc.marching_cubes). Triangulation is marching tetrahedra —
+    identical isosurface, different (finer) tessellation; documented
+    deviation from classic MC tables.
+    """
+    sdf = np.ascontiguousarray(sdf, dtype=np.float32)
+    assert sdf.ndim == 3
+    lib = get_lib()
+    verts_p = ctypes.POINTER(ctypes.c_float)()
+    tris_p = ctypes.POINTER(ctypes.c_int32)()
+    n_v = ctypes.c_int()
+    n_t = ctypes.c_int()
+    rc = lib.mc_extract(
+        sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sdf.shape[0], sdf.shape[1], sdf.shape[2], ctypes.c_float(level),
+        ctypes.byref(verts_p), ctypes.byref(n_v), ctypes.byref(tris_p), ctypes.byref(n_t))
+    if rc != 0:
+        raise RuntimeError(f"mc_extract failed with code {rc}")
+    try:
+        verts = np.ctypeslib.as_array(verts_p, shape=(n_v.value, 3)).copy() if n_v.value else np.zeros((0, 3), np.float32)
+        tris = np.ctypeslib.as_array(tris_p, shape=(n_t.value, 3)).copy() if n_t.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.mc_free(verts_p, tris_p)
+    return verts, tris
+
+
+def export_obj(verts: np.ndarray, tris: np.ndarray, path) -> None:
+    """Write an OBJ file (counterpart of the reference's mc.export_obj)."""
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in tris:
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")

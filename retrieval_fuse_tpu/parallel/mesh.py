@@ -1,0 +1,59 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's
+Lightning DDP/NCCL stack (trainer/train_refinement.py:347).
+
+Model: a 1-D (or 2-D) jax.sharding.Mesh; batches are sharded over the 'data'
+axis, parameters are replicated, and XLA inserts the gradient all-reduce over
+ICI during pjit compilation — there is no explicit collective code anywhere
+in the trainers. The retrieval database may additionally be sharded over the
+same axis (ops/knn.sharded_exact_knn), which is this workload's natural
+tensor-parallel analog (SURVEY §2.7).
+
+Multi-host: call jax.distributed.initialize() before get_mesh(); the same
+code paths then span hosts with DCN between slices.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Place every array leaf with its leading axis sharded over the mesh.
+    Non-array entries (names, counts) pass through untouched."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_jit(fn, mesh: Mesh, axis_name: str = "data", donate_argnums=()):
+    """jit `fn(state, batch, ...)` with state replicated and batch sharded on
+    the leading axis. XLA derives the all-reduce; nothing else needed."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis_name))
+
+    def spec_for(tree, sharding):
+        return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+    # shardings resolved lazily at first call, via jax.jit's sharding hints on
+    # the arguments themselves (device_put in shard_batch / replicate)
+    return jax.jit(fn, donate_argnums=donate_argnums)

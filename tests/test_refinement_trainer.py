@@ -1,0 +1,135 @@
+"""Refinement trainer: phase curriculum, forwards, losses, freezing, and the
+validation/metric path, on a tiny synthetic superres setup (64³ targets)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_fuse_tpu.train.refinement_trainer import RefinementTrainer, PHASE_TRAINABLE
+
+
+@pytest.fixture(scope="module")
+def trainer(synth_superres_root, tmp_path_factory):
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    cfg.update(nf=4, K=2, batch_size=1, unet_num_level=4, retrieval_fmaps=4,
+               retrieval_num_level=4, experiment="test_refine")
+    for d in ("dataset_train", "dataset_val"):
+        cfg[d].update(patch_size_input=8, patch_context_input=0, patch_size_target=64,
+                      patch_context_target=0, patch_stride=64)
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("refine_runs"))
+    try:
+        yield RefinementTrainer(cfg, enable_vis=False)
+    finally:
+        os.chdir(cwd)
+
+
+def _example_batch(trainer, b=1):
+    from retrieval_fuse_tpu.data.loader import collate
+    items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(b)]
+    batch = collate(items, b)
+    return trainer._device_batch(batch)
+
+
+def test_forward_shapes(trainer):
+    batch = _example_batch(trainer)
+    rng = jax.random.PRNGKey(0)
+    pred, back, retr, fpred, ftgt, occ = trainer.forward_full(trainer.state.params, batch, rng)
+    assert pred.shape == (1, 64, 64, 64, 1)
+    assert back.shape == (1, 64, 64, 64, 1)
+    assert retr.shape == (1, 64, 64, 64, 1)
+    assert fpred.shape == (4096, 32)
+    assert occ.shape == (4096,)
+    # tanh range
+    assert float(jnp.abs(pred).max()) <= 1.0
+
+
+def test_phase0_step_updates_only_unet_and_decoder(trainer):
+    trainer.set_phase(0)
+    before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    batch = _example_batch(trainer)
+    trainer.state, total, aux = trainer._train_steps[0](
+        trainer.state, batch, jax.random.PRNGKey(1))
+    after = trainer.state.params
+    assert np.isfinite(float(total))
+
+    def changed(sub):
+        b = jax.tree_util.tree_leaves(before[sub])
+        a = jax.tree_util.tree_leaves(after[sub])
+        return any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(b, a))
+
+    assert changed("unet_backbone")
+    assert changed("decoder")
+    assert not changed("retrieval_backbone")
+    assert not changed("patched_attention_block")
+
+
+def test_phase3_step_updates_everything(trainer):
+    trainer.set_phase(3)
+    before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    batch = _example_batch(trainer)
+    trainer.state, total, aux = trainer._train_steps[3](
+        trainer.state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(total))
+    for key in ("fuse", "back", "retr", "contrastive"):
+        assert np.isfinite(float(aux[key]))
+    after = trainer.state.params
+    for sub in ("unet_backbone", "decoder", "retrieval_backbone"):
+        b = jax.tree_util.tree_leaves(before[sub])
+        a = jax.tree_util.tree_leaves(after[sub])
+        assert any(not np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(b, a)), sub
+
+
+def test_loss_shape_semantics(trainer):
+    batch = trainer.augment_batch_data(_example_batch(trainer))
+    # perfect prediction -> small l1
+    perfect = trainer.normalized_target_to_network_pred(batch["target"])
+    total, l1, normal = trainer.loss_shape(perfect, batch)
+    assert float(l1) < 1e-5
+    # all-empty prediction penalized on occupied voxels
+    empty_pred = jnp.ones_like(perfect)
+    _, l1_bad, _ = trainer.loss_shape(empty_pred, batch)
+    assert float(l1_bad) > float(l1)
+
+
+def test_sliced_contrastive_cap(trainer):
+    n, c = 8 * 512, 32
+    rng = np.random.default_rng(0)
+    fpred = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    ftgt = jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+    # all patches occupied: 8 slices x 512 = 4096 > 1280 cap -> only first 2
+    # slices (1024) fit; the 3rd would exceed
+    occ_all = jnp.ones((n,), bool)
+    loss_all = trainer.compute_sliced_attn_nt_xent_loss(8, fpred, ftgt, occ_all)
+    assert np.isfinite(float(loss_all)) and float(loss_all) > 0
+    # no patches occupied -> zero loss
+    loss_none = trainer.compute_sliced_attn_nt_xent_loss(8, fpred, ftgt, jnp.zeros((n,), bool))
+    assert float(loss_none) == 0.0
+
+
+def test_validate_table(trainer):
+    res = trainer.validate(max_batches=1)
+    assert set(res) == {"val_fuse", "val_nn1", "train_fuse", "train_nn1"}
+    assert 0 <= res["val_fuse"]["iou"] <= 1
+
+
+def test_checkpoint_roundtrip_and_subnet_warmstart(trainer, tmp_path):
+    path = trainer.save(epoch=0)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    # perturb, then restore
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, trainer.state.params))
+    trainer.load(path)
+    p1 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    np.testing.assert_allclose(p0, p1)
+    # subnet extraction
+    from retrieval_fuse_tpu.train.checkpoint import load_subnet_params
+    sub = load_subnet_params(path, "decoder")
+    ref = trainer.state.params["decoder"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(sub)[0]),
+        np.asarray(jax.tree_util.tree_leaves(ref)[0]))
