@@ -1,0 +1,172 @@
+"""Fused retrieve+refine serving engine — the deployable path.
+
+The reference has no serving module: inference is the vis loop inside
+validation (trainer/train_refinement.py:152-173, SURVEY §3.4), with FLANN on
+CPU, composed retrievals read from disk, and the refinement forward on GPU.
+Here the ENTIRE pipeline is one jitted device program:
+
+  input chunk -> unfold into retrieval patches -> input encoder -> exact kNN
+  against the device-resident embedding database -> gather retrieved 16³
+  target patches from the device-resident patch bank -> fold into K
+  approximation volumes -> U-Net backbone + K-way patch attention + decoder
+  -> 64³ TSDF
+
+No host round-trips, no disk, static shapes; the batch axis shards over the
+mesh for multi-chip serving and the database can ride the sharded kNN
+(ops/knn.sharded_exact_knn) when it outgrows one chip's HBM. bf16 activations
+keep the MXU fed; the final TSDF is f32.
+
+Non-overlapping target patches (stride == patch size, the shipped configs'
+refinement setting) make composition a pure gather+fold — the
+distance-priority paste (util/retrieval.py:148-164) only matters for
+overlapping strides and stays on host in the offline compose CLI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrieval_fuse_tpu.models import (
+    get_retrieval_networks, get_unet_backbone, get_decoder, get_retrieval_backbone,
+    get_attention_block)
+from retrieval_fuse_tpu.ops.fold3d import unfold3d, fold3d
+
+
+class RetrieveRefineEngine:
+    """End-to-end chunk server: raw low-res df chunks in, 64³ TSDF out."""
+
+    def __init__(self, config: dict, params: dict, database: jnp.ndarray,
+                 patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16):
+        """
+        params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
+                 'patched_attention_block'} param trees.
+        database: (N, latent) L2-normalized target-patch embeddings
+                  (rows aligned with patch_bank).
+        patch_bank: (N, P, P, P) raw df target patches (P = patch_size_target
+                    + 2*context, typically 32 for the 16+8 encoder geometry —
+                    here the REFINEMENT patch geometry: 16³ tiles of the 64³
+                    chunk, bank rows are those tiles).
+        """
+        self.config = config
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.K = config["K"]
+        dtr = config["dataset_train"]
+        self.tcs = dtr["target_chunk_size"]
+        self.n_fold = self.tcs // 16
+        self.input_patch = config["retrieval_model"]["network_input"]
+        # retrieval-geometry: input patches of size ps+2*ctx at stride ps
+        rps = config.get("retrieval_patch_size_input", 2)
+        rctx = config.get("retrieval_patch_context_input", 1)
+        self.r_patch_size, self.r_ctx = rps, rctx
+
+        self.fenc_input, _ = get_retrieval_networks(config["retrieval_model"])
+        self.unet_backbone = get_unet_backbone(config)
+        self.decoder = get_decoder(config)
+        self.retrieval_backbone = get_retrieval_backbone(config)
+        self.attention = get_attention_block(config, deterministic_selection=True)
+
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, t)
+        self.params = cast(params)
+        self.database = jnp.asarray(database, compute_dtype)
+        self.patch_bank = jnp.asarray(patch_bank, compute_dtype)
+
+        # normalization constants
+        self.in_mean = dtr["input_mean"]
+        self.in_std = dtr["input_std"]
+        self.tgt_mean = dtr["target_mean"]
+        self.tgt_std = dtr["target_std"]
+        rm = config.get("retrieval_norm", {})
+        self.r_in_mean = rm.get("input_mean", self.in_mean)
+        self.r_in_std = rm.get("input_std", self.in_std)
+        import numpy as _np
+        self.input_trunc = float(_np.float16(dtr["voxel_size_input"] * 3).astype(_np.float32))
+        self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
+
+        self._fn = jax.jit(self._pipeline)
+
+    # ------------------------------------------------------------- pipeline
+
+    def _unfold_input_patches(self, raw_input):
+        """(B, ics, ics, ics, 1) raw df -> (B*R³, p, p, p, 1) retrieval-normalized
+        patches, p = patch_size + 2*context, stride = patch_size (the shipped
+        retrieval geometry; context comes from trunc padding)."""
+        ps, ctx = self.r_patch_size, self.r_ctx
+        x = jnp.pad(raw_input, [(0, 0), (ctx, ctx), (ctx, ctx), (ctx, ctx), (0, 0)],
+                    constant_values=self.input_trunc)
+        b, s = x.shape[0], raw_input.shape[1]
+        r = s // ps
+        side = ps + 2 * ctx
+        # overlapping strided patches: gather windows at stride ps
+        starts = jnp.arange(r) * ps
+        idx = starts[:, None] + jnp.arange(side)[None, :]        # (r, side)
+        px = x[:, idx]                                           # (b, r, side, S+2c, S+2c, 1)
+        px = px[:, :, :, idx]                                    # (b, r, side, r, side, S+2c, 1)
+        px = px[:, :, :, :, :, idx]                              # (b, r, side, r, side, r, side, 1)
+        patches = px.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * r ** 3, side, side, side, 1)
+        return (patches - self.r_in_mean) / self.r_in_std
+
+    def _pipeline(self, params, database, patch_bank, raw_input):
+        cd = self.compute_dtype
+        b = raw_input.shape[0]
+        # 1) retrieval: encode input patches, exact kNN, gather target tiles
+        patches = self._unfold_input_patches(raw_input.astype(jnp.float32)).astype(cd)
+        z = self.fenc_input.apply({"params": params["fenc_input"]}, patches)
+        z = z.reshape(z.shape[0], -1)
+        z = z / jnp.maximum(jnp.linalg.norm(z.astype(jnp.float32), axis=1, keepdims=True), 1e-12).astype(cd)
+        sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
+        _, top_idx = jax.lax.top_k(sims, self.K)                  # (B·R³, K)
+        tiles = patch_bank[top_idx]                               # (B·R³, K, 16,16,16)
+        # 2) compose K approximation volumes: (B, K, 64³)
+        r = self.n_fold
+        tiles = tiles.transpose(1, 0, 2, 3, 4).reshape(self.K * b * r ** 3, 16, 16, 16, 1)
+        # fold per (k, b): rows ordered k-major then b·r³ (fold3d folds each
+        # consecutive r³ group)
+        volumes = fold3d(tiles, r, 16)                            # (K·B, 64,64,64, 1)
+        retrievals_norm = ((volumes.astype(jnp.float32) - self.tgt_mean) / self.tgt_std).astype(cd)
+        # reorder to (B·K, ...) with k fastest, matching get_retrievals layout
+        retrievals_norm = retrievals_norm.reshape(self.K, b, *volumes.shape[1:])
+        retrievals_norm = retrievals_norm.transpose(1, 0, 2, 3, 4, 5).reshape(
+            b * self.K, *volumes.shape[1:])
+        # 3) refinement: backbone + attention fusion + decoder
+        x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
+        x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
+        retr_patches = unfold3d(retrievals_norm, 16)
+        feats = self.retrieval_backbone.apply({"params": params["retrieval_backbone"]}, retr_patches)
+        x_retrieval = fold3d(feats, r, 8)
+        fused = self.attention.apply({"params": params["patched_attention_block"]},
+                                     x_back, x_retrieval)
+        pred = self.decoder.apply({"params": params["decoder"]}, fused)
+        # tanh space -> df
+        return ((pred.astype(jnp.float32) + 1.0) * self.target_trunc / 2.0)
+
+    def __call__(self, raw_input_chunks) -> jnp.ndarray:
+        """(B, ics, ics, ics, 1) raw low-res df -> (B, tcs, tcs, tcs, 1) TSDF."""
+        x = jnp.asarray(raw_input_chunks)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
+        return self._fn(self.params, self.database, self.patch_bank, x)
+
+
+def build_patch_bank_from_dataset(dataset, patch_size: int = 16):
+    """Offline: tile every train target chunk into 16³ patches -> (N, 16³) bank
+    + matching embedding rows are produced by retrieval.dictionary. For the
+    shipped non-overlapping refinement geometry the bank row order equals the
+    database row order (scene-major, patch row-major)."""
+    tiles = []
+    for scene in dataset.scenes:
+        vol = dataset.get_scene_target(scene)
+        s = vol.shape[0]
+        r = s // patch_size
+        v = vol[: r * patch_size, : r * patch_size, : r * patch_size]
+        v = v.reshape(r, patch_size, r, patch_size, r, patch_size)
+        v = v.transpose(0, 2, 4, 1, 3, 5).reshape(-1, patch_size, patch_size, patch_size)
+        tiles.append(v)
+    return np.concatenate(tiles, axis=0)

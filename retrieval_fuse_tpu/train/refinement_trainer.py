@@ -106,7 +106,10 @@ class RefinementTrainer:
 
         self.params = self._init_params(config)
         self._load_subnet_ckpts_if_needed(config)
-        self.tx = self._make_optimizer(self.phase)
+        # one optimizer per phase, fixed at construction so each jitted phase
+        # step traces against its own transform
+        self._tx_by_phase = {ph: self._make_optimizer(ph) for ph in range(4)}
+        self.tx = self._tx_by_phase[self.phase]
         self.state = TrainState(self.params, self.tx.init(self.params), 0)
         self.global_step = 0
         self._train_steps = {ph: self._build_train_step(ph) for ph in range(4)}
@@ -163,7 +166,7 @@ class RefinementTrainer:
         (ref resets optimizer state at phase boundaries, :314-318)."""
         self.phase = phase
         self.config["current_phase"] = phase
-        self.tx = self._make_optimizer(phase)
+        self.tx = self._tx_by_phase[phase]
         self.state = TrainState(self.state.params, self.tx.init(self.state.params), self.state.step)
 
     # --------------------------------------------------------------- forwards
@@ -339,11 +342,13 @@ class RefinementTrainer:
         return total, aux
 
     def _build_train_step(self, phase):
+        tx = self._tx_by_phase[phase]
+
         def step(state: TrainState, batch, rng):
             batch = self.augment_batch_data(batch)
             (total, aux), grads = jax.value_and_grad(
                 lambda p: self._phase_loss(phase, p, batch, rng), has_aux=True)(state.params)
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_opt, state.step + 1), total, aux
         return jax.jit(step, donate_argnums=(0,))
