@@ -518,3 +518,28 @@ def train_refinement_phases(config: dict, mesh=None, max_steps_per_epoch=None,
         trainer.save(prev_epochs - 1)
     logger.close()
     return trainer
+
+
+def main(argv=None):
+    """CLI parity with `python trainer/train_refinement.py --config ...`
+    (ref trainer/train_refinement.py:321-366): phase-chained curriculum,
+    resume support, per-subnet warm start. DDP becomes the local device mesh."""
+    from retrieval_fuse_tpu.config.arguments import parse_arguments
+    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    from retrieval_fuse_tpu.utils.logger import FilesystemLogger
+
+    config = parse_arguments(argv)
+    np.random.seed(config["seed"])
+    FilesystemLogger(config)
+    mesh = get_mesh() if len(jax.devices()) > 1 else None
+    if config.get("resume"):
+        trainer = RefinementTrainer(config, mesh=mesh)
+        trainer.load(config["resume"])
+        trainer.fit(max_epochs=config["max_epoch"], save_epoch=config["save_epoch"],
+                    val_check_interval=max(1, int(config.get("val_check_interval", 1))))
+        return trainer
+    return train_refinement_phases(config, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

@@ -275,3 +275,33 @@ def get_metrics_for_retrieval(retrievals: np.ndarray, dataset) -> list[float]:
         for metric in metrics:
             metric.update(nn1, target)
     return [m.compute() for m in metrics]
+
+
+def main(argv=None):
+    """CLI parity with `python trainer/train_retrieval.py --config ...`
+    (ref trainer/train_retrieval.py:148-166). Retrieval training was pinned
+    to one GPU there; here the batch axis shards over every local device."""
+    from retrieval_fuse_tpu.config.arguments import parse_arguments
+    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    from retrieval_fuse_tpu.utils.logger import FilesystemLogger
+
+    config = parse_arguments(argv)
+    config["no_retrievals"] = True
+    np.random.seed(config["seed"])
+    FilesystemLogger(config)
+    mesh = get_mesh()
+    trainer = RetrievalTrainer(config, mesh=mesh if len(jax.devices()) > 1 else None)
+    if config.get("resume"):
+        trainer.load(config["resume"])
+    if config.get("sanity_steps"):
+        trainer.validate(0, run_retrieval_validation=config["sanity_steps"] == -1)
+        if config["sanity_steps"] == -1:
+            return trainer
+    trainer.fit(max_epochs=config["max_epoch"],
+                val_check_interval=max(1, int(config.get("val_check_interval", 1))),
+                save_epoch=config["save_epoch"])
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,26 @@ def test_refinement_config_resolves():
     assert cfg["attn_patch_extent"] == 4
     assert cfg["dataset_train"]["patch_size_target"] == 64
     assert cfg["scheduler"] == [110, 125]
+
+
+def test_all_packaged_leaf_configs_resolve():
+    import yaml
+    leaves = sorted(CONFIG_ROOT.glob("s*/**/*.yaml"))
+    assert len(leaves) == 12  # 2 tasks x 3 datasets x {retrieval, refinement}
+    for leaf in leaves:
+        cfg = read_config(leaf)
+        assert "dataset" not in cfg
+        for d in ("dataset_train", "dataset_val"):
+            assert cfg[d]["dataset_name"] is not None
+            assert cfg[d]["patch_size_target"] > 0
+        if "retrieval_model" in cfg:
+            assert cfg["retrieval_model"]["latent_dim"] == 64
+
+
+def test_encoder_codes_in_all_retrieval_configs_are_known():
+    from retrieval_fuse_tpu.models.encoders import INPUT_CODE_TO_ENCODER, TARGET_CODE_TO_ENCODER
+    for leaf in CONFIG_ROOT.glob("s*/**/retrieval_*.yaml"):
+        cfg = read_config(leaf)
+        rm = cfg["retrieval_model"]
+        assert rm["network_input"] in INPUT_CODE_TO_ENCODER, leaf
+        assert rm["network_target"] in TARGET_CODE_TO_ENCODER, leaf
