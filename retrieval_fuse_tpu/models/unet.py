@@ -54,7 +54,6 @@ class SingleConv(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         assert "c" in self.order, "Conv layer MUST be present"
         assert self.order[0] not in "rle", "Non-linearity cannot be the first operation in the layer"
-        conv_done = False
         for i, char in enumerate(self.order):
             if char == "r":
                 x = nn.relu(x)
@@ -70,15 +69,16 @@ class SingleConv(nn.Module):
                 x = nn.Conv(self.out_channels, kernel_size=(k, k, k), padding=pad,
                             use_bias=bias, kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(in_ch * k ** 3), name="conv")(x)
-                conv_done = True
             elif char == "g":
                 ch = x.shape[-1]
                 g = _adapt_num_groups(ch, self.num_groups)
-                x = nn.GroupNorm(num_groups=g, epsilon=1e-5,
-                                 name="groupnorm_pre" if not conv_done else "groupnorm")(x)
+                # a single norm per SingleConv (torch Sequential could not
+                # even hold two same-named modules), so the name is stable
+                # regardless of pre/post-conv position
+                x = nn.GroupNorm(num_groups=g, epsilon=1e-5, name="groupnorm")(x)
             elif char == "b":
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                                 name="batchnorm_pre" if not conv_done else "batchnorm")(x)
+                                 name="batchnorm")(x)
             else:
                 raise ValueError(f"Unsupported layer type '{char}'")
         return x
