@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: streaming exact kNN over a tiled embedding database.
+
+`exact_knn` (ops/knn.py) materializes the full (Q, N) similarity matrix in
+HBM before top-k. This kernel streams database tiles through VMEM and keeps a
+running top-k per query instead — the flash-attention access pattern applied
+to retrieval:
+
+  for each database tile (grid dim):                        [VMEM resident]
+      sims  = queries @ tile.T                              [MXU]
+      merge tile-local top-k into the running top-k         [VPU sort]
+
+HBM traffic drops from O(Q·N) f32 scores to O(N·D) database reads (each tile
+read once) plus O(Q·k) state — the difference matters once N reaches millions
+of patches (full-corpus deployments), where the dense matrix would not fit.
+
+The kernel keeps (values, indices) merged via one sort per tile over the
+concatenated (2k) candidates. Exactness is preserved — results match
+ops/knn.exact_knn bit-for-bit on similarity ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
+    t = pl.program_id(0)
+
+    sims = jnp.dot(q_ref[:], db_ref[:].T, preferred_element_type=jnp.float32)  # (Q, tile_n)
+    base = t * tile_n
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1) + base
+
+    tile_vals, tile_pos = jax.lax.top_k(sims, k)                    # (Q, k)
+    tile_idx = jnp.take_along_axis(col_ids, tile_pos, axis=1)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = tile_vals
+        idx_ref[:] = tile_idx
+
+    @pl.when(t > 0)
+    def _():
+        cand_vals = jnp.concatenate([vals_ref[:], tile_vals], axis=1)   # (Q, 2k)
+        cand_idx = jnp.concatenate([idx_ref[:], tile_idx], axis=1)
+        merged_vals, merged_pos = jax.lax.top_k(cand_vals, k)
+        vals_ref[:] = merged_vals
+        idx_ref[:] = jnp.take_along_axis(cand_idx, merged_pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
+                     tile_n: int = 2048, interpret: bool = False):
+    """Streaming top-k cosine search.
+
+    queries: (Q, D) L2-normalized; database: (N, D) L2-normalized.
+    Returns (indices (Q, k) int32, sq_dists (Q, k) f32) like ops/knn.exact_knn.
+    N is padded to a tile multiple with -inf-scoring rows.
+    """
+    q, d = queries.shape
+    n = database.shape[0]
+    pad = (-n) % tile_n
+    if pad:
+        database = jnp.concatenate(
+            [database, jnp.zeros((pad, d), database.dtype)], axis=0)
+    n_padded = database.shape[0]
+    n_tiles = n_padded // tile_n
+
+    # mask padding rows by appending a -2 "similarity floor" column trick:
+    # instead, mask after the fact — padded rows are all-zero so their cosine
+    # is 0; to keep exactness when real sims can be <= 0, pre-mask by writing
+    # -inf rows is not expressible per-tile cheaply, so demote pad rows here:
+    if pad:
+        # give padding rows a large negative similarity via a sentinel last dim
+        # trick: append one extra dimension valued -B for pads, +0 for queries
+        sentinel = jnp.where(jnp.arange(n_padded) < n, 0.0, -4.0).astype(database.dtype)
+        database = jnp.concatenate([database, sentinel[:, None]], axis=1)
+        queries = jnp.concatenate([queries, jnp.ones((q, 1), queries.dtype)], axis=1)
+        d += 1
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, tile_n=tile_n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q, k), jnp.float32),
+            jax.ShapeDtypeStruct((q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries.astype(jnp.float32), database.astype(jnp.float32))
+    sq_dists = jnp.maximum(2.0 - 2.0 * vals, 0.0)
+    return idx, sq_dists
