@@ -63,12 +63,14 @@ def build_flagship(compute_dtype=None):
     # ShapeNetV2-scale synthetic database: 27,131 train chunks x 64 tiles is the
     # REAL deployment bank; for throughput the row values are irrelevant, only
     # the (N, D) matmul + (N, 16³) gather shapes matter. N kept at one scene
-    # granularity: 27,132 rows (incl. zero patch).
+    # granularity: 27,132 rows (incl. zero patch). Generated ON DEVICE — a
+    # ~0.5 GB host->device upload is pure noise for a throughput benchmark
+    # (and chokes relayed/tunneled device transports).
     N = 27132
-    rng = np.random.default_rng(0)
-    db = rng.standard_normal((N, 64)).astype(np.float32)
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
-    bank = (rng.random((N, 16, 16, 16)).astype(np.float32) * 0.0625)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    db = jax.random.normal(k1, (N, 64), jnp.float32)
+    db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
+    bank = jax.random.uniform(k2, (N, 16, 16, 16), jnp.float32) * 0.0625
     engine = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=compute_dtype)
     return engine
 
@@ -102,14 +104,30 @@ def measure(engine, batch_size: int, iters: int = 10) -> float:
     return batch_size * iters / dt
 
 
+class _Watchdog(Exception):
+    pass
+
+
 def main():
+    import signal
+
+    def _alarm(_sig, _frm):
+        raise _Watchdog()
+
+    signal.signal(signal.SIGALRM, _alarm)
     engine = build_flagship()
     best = 0.0
     best_b = 0
-    for b in (32, 64, 128, 256):
+    for b in (64, 128, 256):
         try:
+            signal.alarm(420)  # bound compile+measure per batch size
             tput = measure(engine, b)
+            signal.alarm(0)
+        except _Watchdog:
+            print(f"# batch {b} timed out", file=sys.stderr)
+            break
         except Exception as e:  # OOM at large batch: keep the best so far
+            signal.alarm(0)
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
             break
         print(f"# batch {b}: {tput:.1f} chunks/sec", file=sys.stderr)

@@ -20,6 +20,14 @@ Non-overlapping target patches (stride == patch size, the shipped configs'
 refinement setting) make composition a pure gather+fold — the
 distance-priority paste (util/retrieval.py:148-164) only matters for
 overlapping strides and stays on host in the offline compose CLI.
+
+Feature-bank mode (the default): the retrieval backbone is a per-patch
+encoder over STATIC dictionary tiles, so its outputs are precomputed once
+into a (N, 8, 8, 8, nf) feature bank; serving gathers features by top-k
+index instead of re-encoding — identical outputs (the backbone has no
+cross-patch context), ~8x fewer serving FLOPs. The reference cannot do this:
+its pipeline materializes composed volumes on disk and re-encodes them every
+forward (trainer/train_refinement.py:108-120).
 """
 
 from __future__ import annotations
@@ -41,16 +49,19 @@ class RetrieveRefineEngine:
     """End-to-end chunk server: raw low-res df chunks in, 64³ TSDF out."""
 
     def __init__(self, config: dict, params: dict, database: jnp.ndarray,
-                 patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16):
+                 patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16,
+                 use_feature_bank: bool = True):
         """
         params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
                  'patched_attention_block'} param trees.
         database: (N, latent) L2-normalized target-patch embeddings
                   (rows aligned with patch_bank).
-        patch_bank: (N, P, P, P) raw df target patches (P = patch_size_target
-                    + 2*context, typically 32 for the 16+8 encoder geometry —
-                    here the REFINEMENT patch geometry: 16³ tiles of the 64³
-                    chunk, bank rows are those tiles).
+        patch_bank: (N, P, P, P) raw df 16³ tiles of the train chunks (the
+                    REFINEMENT patch geometry; bank row i pairs with database
+                    row i).
+        use_feature_bank: precompute retrieval-backbone features for every
+                    bank tile and gather at serving time (default; set False
+                    to re-encode tiles per call like the training forward).
         """
         self.config = config
         self.mesh = mesh
@@ -89,7 +100,27 @@ class RetrieveRefineEngine:
         self.input_trunc = float(_np.float16(dtr["voxel_size_input"] * 3).astype(_np.float32))
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
 
+        self.feature_bank = None
+        if use_feature_bank:
+            self.feature_bank = self._precompute_feature_bank()
         self._fn = jax.jit(self._pipeline)
+
+    def _precompute_feature_bank(self, batch: int = 4096) -> jnp.ndarray:
+        """Encode every (normalized) bank tile once -> (N, 8, 8, 8, nf)."""
+        cd = self.compute_dtype
+        apply = jax.jit(lambda p, x: self.retrieval_backbone.apply({"params": p}, x))
+        tiles_norm = ((self.patch_bank.astype(jnp.float32) - self.tgt_mean)
+                      / self.tgt_std).astype(cd)[..., None]
+        outs = []
+        for start in range(0, tiles_norm.shape[0], batch):
+            chunk = tiles_norm[start: start + batch]
+            if chunk.shape[0] < batch:  # pad for a single compiled shape
+                pad = batch - chunk.shape[0]
+                chunk = jnp.concatenate([chunk, jnp.zeros((pad,) + chunk.shape[1:], cd)], axis=0)
+                outs.append(apply(self.params["retrieval_backbone"], chunk)[: batch - pad])
+            else:
+                outs.append(apply(self.params["retrieval_backbone"], chunk))
+        return jnp.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------- pipeline
 
@@ -112,34 +143,45 @@ class RetrieveRefineEngine:
         patches = px.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b * r ** 3, side, side, side, 1)
         return (patches - self.r_in_mean) / self.r_in_std
 
-    def _pipeline(self, params, database, patch_bank, raw_input):
+    def _pipeline(self, params, database, bank, raw_input):
+        """bank is the feature bank (N, 8, 8, 8, nf) in feature-bank mode,
+        else the raw patch bank (N, 16, 16, 16)."""
         cd = self.compute_dtype
         b = raw_input.shape[0]
-        # 1) retrieval: encode input patches, exact kNN, gather target tiles
+        r = self.n_fold
+        # 1) retrieval: encode input patches, exact kNN
         patches = self._unfold_input_patches(raw_input.astype(jnp.float32)).astype(cd)
         z = self.fenc_input.apply({"params": params["fenc_input"]}, patches)
         z = z.reshape(z.shape[0], -1)
         z = z / jnp.maximum(jnp.linalg.norm(z.astype(jnp.float32), axis=1, keepdims=True), 1e-12).astype(cd)
         sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
         _, top_idx = jax.lax.top_k(sims, self.K)                  # (B·R³, K)
-        tiles = patch_bank[top_idx]                               # (B·R³, K, 16,16,16)
-        # 2) compose K approximation volumes: (B, K, 64³)
-        r = self.n_fold
-        tiles = tiles.transpose(1, 0, 2, 3, 4).reshape(self.K * b * r ** 3, 16, 16, 16, 1)
-        # fold per (k, b): rows ordered k-major then b·r³ (fold3d folds each
-        # consecutive r³ group)
-        volumes = fold3d(tiles, r, 16)                            # (K·B, 64,64,64, 1)
-        retrievals_norm = ((volumes.astype(jnp.float32) - self.tgt_mean) / self.tgt_std).astype(cd)
-        # reorder to (B·K, ...) with k fastest, matching get_retrievals layout
-        retrievals_norm = retrievals_norm.reshape(self.K, b, *volumes.shape[1:])
-        retrievals_norm = retrievals_norm.transpose(1, 0, 2, 3, 4, 5).reshape(
-            b * self.K, *volumes.shape[1:])
+
+        def regroup(volumes):
+            # (K·B, S, S, S, C) k-major -> (B·K, ...) k-fastest, matching the
+            # trainer's get_retrievals layout
+            v = volumes.reshape(self.K, b, *volumes.shape[1:])
+            return v.transpose(1, 0, 2, 3, 4, 5).reshape(b * self.K, *volumes.shape[1:])
+
+        if self.feature_bank is not None:
+            # 2a) gather precomputed tile features, fold to feature volumes
+            feats = bank[top_idx]                                 # (B·R³, K, 8,8,8,nf)
+            feats = feats.transpose(1, 0, 2, 3, 4, 5).reshape(
+                self.K * b * r ** 3, *bank.shape[1:])
+            x_retrieval = regroup(fold3d(feats, r, 8))            # (B·K, 32³, nf)
+        else:
+            # 2b) gather raw tiles, compose volumes, re-encode (training path)
+            tiles = bank[top_idx]                                 # (B·R³, K, 16,16,16)
+            tiles = tiles.transpose(1, 0, 2, 3, 4).reshape(self.K * b * r ** 3, 16, 16, 16, 1)
+            volumes = fold3d(tiles, r, 16)                        # (K·B, 64³, 1)
+            retrievals_norm = regroup(
+                ((volumes.astype(jnp.float32) - self.tgt_mean) / self.tgt_std).astype(cd))
+            retr_patches = unfold3d(retrievals_norm, 16)
+            feats = self.retrieval_backbone.apply({"params": params["retrieval_backbone"]}, retr_patches)
+            x_retrieval = fold3d(feats, r, 8)
         # 3) refinement: backbone + attention fusion + decoder
         x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
         x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
-        retr_patches = unfold3d(retrievals_norm, 16)
-        feats = self.retrieval_backbone.apply({"params": params["retrieval_backbone"]}, retr_patches)
-        x_retrieval = fold3d(feats, r, 8)
         fused = self.attention.apply({"params": params["patched_attention_block"]},
                                      x_back, x_retrieval)
         pred = self.decoder.apply({"params": params["decoder"]}, fused)
@@ -152,7 +194,8 @@ class RetrieveRefineEngine:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
-        return self._fn(self.params, self.database, self.patch_bank, x)
+        bank = self.feature_bank if self.feature_bank is not None else self.patch_bank
+        return self._fn(self.params, self.database, bank, x)
 
 
 def build_patch_bank_from_dataset(dataset, patch_size: int = 16):

@@ -1,0 +1,86 @@
+"""Serving engine: end-to-end shape/semantics, and exact equivalence of the
+feature-bank fast path vs the re-encode path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_fuse_tpu.inference import RetrieveRefineEngine, build_patch_bank_from_dataset
+from retrieval_fuse_tpu.models import (
+    get_retrieval_networks, get_unet_backbone, get_decoder, get_retrieval_backbone,
+    get_attention_block)
+
+CFG = {
+    "task": "superresolution", "K": 2, "nf": 4, "unet_num_level": 4, "layer_order": "gcr",
+    "retrieval_fmaps": 4, "retrieval_num_level": 4, "attn_normalize": True,
+    "attn_use_switching": True, "attn_retrieval_mode": True, "attn_no_output_mapping": True,
+    "attn_blend": True, "attn_patch_extent": 4, "attn_num_patch": 16,
+    "retrieval_model": {"network_input": "2+1", "network_target": "16+8",
+                        "nf_input": 4, "nf_target": 4, "latent_dim": 16},
+    "dataset_train": {"input_chunk_size": 8, "target_chunk_size": 64,
+                      "input_mean": 0.3, "input_std": 0.15,
+                      "target_mean": 0.06, "target_std": 0.01,
+                      "voxel_size_input": 0.166667, "voxel_size_target": 0.020834},
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    fenc_in, _ = get_retrieval_networks(CFG["retrieval_model"])
+    unet = get_unet_backbone(CFG)
+    dec = get_decoder(CFG)
+    rb = get_retrieval_backbone(CFG)
+    attn = get_attention_block(CFG, deterministic_selection=True)
+    params = {
+        "fenc_input": fenc_in.init(ks[0], jnp.zeros((1, 4, 4, 4, 1)))["params"],
+        "unet_backbone": unet.init(ks[1], jnp.zeros((1, 8, 8, 8, 1)))["params"],
+        "decoder": dec.init(ks[2], jnp.zeros((1, 32, 32, 32, 4)))["params"],
+        "retrieval_backbone": rb.init(ks[3], jnp.zeros((1, 16, 16, 16, 1)))["params"],
+        "patched_attention_block": attn.init(
+            {"params": ks[4], "gumbel": ks[5]},
+            jnp.zeros((1, 32, 32, 32, 4)), jnp.zeros((2, 32, 32, 32, 4)))["params"],
+    }
+    rng = np.random.default_rng(0)
+    N = 300
+    db = rng.standard_normal((N, 16)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    bank = (rng.random((N, 16, 16, 16)).astype(np.float32) * 0.0625)
+    x = rng.random((2, 8, 8, 8, 1)).astype(np.float32) * 0.5
+    return params, db, bank, x
+
+
+def test_engine_output_shape_and_range(setup):
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    out = np.asarray(eng(x))
+    assert out.shape == (2, 64, 64, 64, 1)
+    trunc = eng.target_trunc
+    assert out.min() >= -1e-6 and out.max() <= trunc + 1e-6  # df range from tanh
+
+
+def test_feature_bank_equals_reencode(setup):
+    params, db, bank, x = setup
+    eng_fast = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                    use_feature_bank=True)
+    eng_slow = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                    use_feature_bank=False)
+    out_fast = np.asarray(eng_fast(x))
+    out_slow = np.asarray(eng_slow(x))
+    np.testing.assert_allclose(out_fast, out_slow, atol=2e-5)
+
+
+def test_build_patch_bank_tiling(synth_superres_config):
+    from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset
+    cfg = synth_superres_config
+    sh = SceneHandler("train", cfg)
+    ds = PatchedSceneDataset("train", cfg["dataset_train"], sh)
+    bank = build_patch_bank_from_dataset(ds)
+    n_scenes = len(ds.scenes)
+    assert bank.shape == (n_scenes * 64, 16, 16, 16)
+    # row ordering: scene-major, patch row-major — row 1 is tile (0,0,1) of scene 0
+    vol = ds.get_scene_target(ds.scenes[0])
+    np.testing.assert_allclose(bank[1], vol[0:16, 0:16, 16:32])
