@@ -75,3 +75,18 @@ def get_tree_path(config: dict) -> Path:
         "runs", "retrieval_scratch", task_dir, config["dataset_train"]["dataset_name"],
         config["dataset_train"]["splits_dir"], ckpt_experiment, ckpt_epoch, str(config["K"]),
     )
+
+
+def truncate_sdf(sdf, truncation_val: float):
+    """Symmetric clamp of an SDF (parity: reference util/sdf_utils.py:2-5)."""
+    return np.clip(sdf, -truncation_val, truncation_val)
+
+
+def rename_state_dict(state_dict: dict, key: str) -> dict:
+    """Sub-dict of a flat checkpoint under `key.` with the prefix stripped
+    (parity: reference util/misc.py:23-28; used for torch-checkpoint import)."""
+    out = {}
+    for k in state_dict:
+        if k.startswith(key + "."):
+            out[k[len(key) + 1:]] = state_dict[k]
+    return out
