@@ -84,22 +84,23 @@ def measure(engine, batch_size: int, iters: int = 10) -> float:
     import jax.numpy as jnp
 
     def body(_, x):
-        out = engine._pipeline(engine.params, engine.database, engine.patch_bank, x)
+        out = engine._pipeline(engine.params, engine.database, engine.serving_bank, x)
         # 64³ df -> 8³ by mean-pooling to form the next input (cheap, keeps
         # the loop-carried shape equal to the input shape)
         b = x.shape[0]
         nxt = out.reshape(b, 8, 8, 8, 8, 8, 8, 1).mean(axis=(2, 4, 6)) * 8.0
         return nxt
 
-    @jax.jit
     def chained(x):
         return jax.lax.fori_loop(0, iters, body, x)[0, 0, 0, 0, 0]
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.random((batch_size, 8, 8, 8, 1)).astype(np.float32) * 0.5)
-    float(chained(x))  # compile + first run
+    compiled = jax.jit(chained).lower(x).compile()  # AOT: no throwaway run
+    print(f"# batch {batch_size}: compiled", file=sys.stderr, flush=True)
+    float(compiled(x))  # warm (allocators, first dispatch)
     t0 = time.perf_counter()
-    float(chained(x))  # scalar fetch bounds the full loop execution
+    float(compiled(x))  # scalar fetch bounds the full loop execution
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
@@ -116,12 +117,13 @@ def main():
 
     signal.signal(signal.SIGALRM, _alarm)
     engine = build_flagship()
+    print("# engine built", file=sys.stderr, flush=True)
     best = 0.0
     best_b = 0
-    for b in (64, 128, 256):
+    for b in (128, 256):
         try:
             signal.alarm(420)  # bound compile+measure per batch size
-            tput = measure(engine, b)
+            tput = measure(engine, b, iters=20)
             signal.alarm(0)
         except _Watchdog:
             print(f"# batch {b} timed out", file=sys.stderr)

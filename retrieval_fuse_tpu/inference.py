@@ -188,14 +188,18 @@ class RetrieveRefineEngine:
         # tanh space -> df
         return ((pred.astype(jnp.float32) + 1.0) * self.target_trunc / 2.0)
 
+    @property
+    def serving_bank(self) -> jnp.ndarray:
+        """The bank argument `_pipeline` expects in the current mode."""
+        return self.feature_bank if self.feature_bank is not None else self.patch_bank
+
     def __call__(self, raw_input_chunks) -> jnp.ndarray:
         """(B, ics, ics, ics, 1) raw low-res df -> (B, tcs, tcs, tcs, 1) TSDF."""
         x = jnp.asarray(raw_input_chunks)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
-        bank = self.feature_bank if self.feature_bank is not None else self.patch_bank
-        return self._fn(self.params, self.database, bank, x)
+        return self._fn(self.params, self.database, self.serving_bank, x)
 
 
 def build_patch_bank_from_dataset(dataset, patch_size: int = 16):

@@ -57,3 +57,25 @@ def data_parallel_jit(fn, mesh: Mesh, axis_name: str = "data", donate_argnums=()
     # shardings resolved lazily at first call, via jax.jit's sharding hints on
     # the arguments themselves (device_put in shard_batch / replicate)
     return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up: call once per host before get_mesh(); afterwards
+    jax.devices() spans all hosts and the same pjit code paths run with ICI
+    inside a slice and DCN across slices. (The reference's analog was
+    Lightning's DDP spawn + NCCL env plumbing, util/arguments.py:10-16.)"""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def process_local_batch_slice(global_batch_size: int) -> tuple[int, int]:
+    """(start, size) of this host's slice of a globally-sharded batch."""
+    import jax
+    per = global_batch_size // jax.process_count()
+    return jax.process_index() * per, per
