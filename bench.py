@@ -75,32 +75,34 @@ def build_flagship(compute_dtype=None):
     return engine
 
 
-def measure(engine, batch_size: int, iters: int = 10) -> float:
-    """Throughput with iterations CHAINED inside one jitted fori_loop and a
-    single scalar host fetch at the end. Chaining makes each iteration depend
-    on the previous one, so async dispatch / non-blocking block_until_ready
-    (e.g. through remote-device tunnels) cannot fake the timing."""
+def measure(engine, batch_size: int, iters: int = 20) -> float:
+    """Throughput with iterations CHAINED through data dependencies: each
+    iteration's input is pooled from the previous output, so the device must
+    execute them sequentially and one final scalar fetch bounds the whole
+    chain — async dispatch / non-blocking block_until_ready (e.g. through
+    remote-device tunnels) cannot fake the timing. Only the single pipeline
+    step is compiled (no big fori_loop program)."""
     import jax
     import jax.numpy as jnp
 
-    def body(_, x):
+    def step(x):
         out = engine._pipeline(engine.params, engine.database, engine.serving_bank, x)
         # 64³ df -> 8³ by mean-pooling to form the next input (cheap, keeps
-        # the loop-carried shape equal to the input shape)
+        # the chained shape equal to the input shape)
         b = x.shape[0]
-        nxt = out.reshape(b, 8, 8, 8, 8, 8, 8, 1).mean(axis=(2, 4, 6)) * 8.0
-        return nxt
-
-    def chained(x):
-        return jax.lax.fori_loop(0, iters, body, x)[0, 0, 0, 0, 0]
+        return out.reshape(b, 8, 8, 8, 8, 8, 8, 1).mean(axis=(2, 4, 6)) * 8.0
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.random((batch_size, 8, 8, 8, 1)).astype(np.float32) * 0.5)
-    compiled = jax.jit(chained).lower(x).compile()  # AOT: no throwaway run
+    x0 = jnp.asarray(rng.random((batch_size, 8, 8, 8, 1)).astype(np.float32) * 0.5)
+    compiled = jax.jit(step).lower(x0).compile()  # AOT: no throwaway run
     print(f"# batch {batch_size}: compiled", file=sys.stderr, flush=True)
-    float(compiled(x))  # warm (allocators, first dispatch)
+    x = compiled(x0)
+    float(x[0, 0, 0, 0, 0])  # warm + sync
     t0 = time.perf_counter()
-    float(compiled(x))  # scalar fetch bounds the full loop execution
+    x = x0
+    for _ in range(iters):
+        x = compiled(x)
+    float(x[0, 0, 0, 0, 0])  # final fetch bounds the dependent chain
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
@@ -120,7 +122,7 @@ def main():
     print("# engine built", file=sys.stderr, flush=True)
     best = 0.0
     best_b = 0
-    for b in (128, 256):
+    for b in (64, 128, 256):
         try:
             signal.alarm(420)  # bound compile+measure per batch size
             tput = measure(engine, b, iters=20)

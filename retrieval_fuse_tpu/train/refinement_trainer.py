@@ -508,11 +508,13 @@ def train_refinement_phases(config: dict, mesh=None, max_steps_per_epoch=None,
 
     trainer = RefinementTrainer(config, mesh=mesh, enable_vis=enable_vis)
     logger = MetricsLogger(config["experiment"])
+    val_every = max(1, int(config.get("val_check_interval", 1)))
     prev_epochs = 0 if start_phase == 0 else max_epochs[start_phase - 1]
     for phase in range(start_phase, 4):
         trainer.set_phase(phase)
         epochs_this_phase = max_epochs[phase] - prev_epochs
         trainer.fit(epochs_this_phase, save_epoch=config.get("save_epoch", 1),
+                    val_check_interval=val_every,
                     max_steps_per_epoch=max_steps_per_epoch, logger=logger)
         prev_epochs = max_epochs[phase]
         trainer.save(prev_epochs - 1)

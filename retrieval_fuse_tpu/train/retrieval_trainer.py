@@ -42,6 +42,7 @@ class TrainState:
     params: dict
     opt_state: object
     step: int
+    batch_stats: dict = flax.struct.field(default_factory=dict)
 
 
 class RetrievalTrainer:
@@ -78,8 +79,13 @@ class RetrievalTrainer:
         p_in = self.fenc_input.init(k1, jnp.zeros((1,) + ex["input"].shape))
         p_tgt = self.fenc_target.init(k2, jnp.zeros((1,) + ex["target"].shape))
         params = {"fenc_input": p_in["params"], "fenc_target": p_tgt["params"]}
+        # PatchNorm* encoder variants carry BatchNorm running stats
+        batch_stats = {k: v.get("batch_stats", {}) for k, v in
+                       {"fenc_input": p_in, "fenc_target": p_tgt}.items()}
+        self.has_batch_stats = any(batch_stats.values())
         self.tx = sched.torch_adam_injectable(weight_decay=5e-5, init_lr=self.base_lr)
-        self.state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
+        self.state = TrainState(params=params, opt_state=self.tx.init(params), step=0,
+                                batch_stats=batch_stats)
         self._loss_cfg = dict(
             temperature=self.temperature, iou_scaling=self.iou_scaling,
             w_contrastive=self.w_contrastive,
@@ -96,14 +102,29 @@ class RetrievalTrainer:
 
     # ----------------------------------------------------------- jitted steps
 
-    def _embed(self, params, batch, train, rng):
+    def _embed(self, params, batch, train, rng, batch_stats=None):
         cfg = self._loss_cfg
         target = batch["target"]
         if train and cfg["input_noise_std"] > 0:
             rng, k = jax.random.split(rng)
             target = target + jax.random.normal(k, target.shape) * cfg["input_noise_std"]
-        f_in = self.fenc_input.apply({"params": params["fenc_input"]}, batch["input"])
-        f_tgt = self.fenc_target.apply({"params": params["fenc_target"]}, target)
+        new_stats = {}
+        if self.has_batch_stats:
+            vin = {"params": params["fenc_input"], "batch_stats": batch_stats["fenc_input"]}
+            vtgt = {"params": params["fenc_target"], "batch_stats": batch_stats["fenc_target"]}
+            if train:
+                f_in, mut_in = self.fenc_input.apply(vin, batch["input"], train=True,
+                                                     mutable=["batch_stats"])
+                f_tgt, mut_tgt = self.fenc_target.apply(vtgt, target, train=True,
+                                                        mutable=["batch_stats"])
+                new_stats = {"fenc_input": mut_in.get("batch_stats", {}),
+                             "fenc_target": mut_tgt.get("batch_stats", {})}
+            else:
+                f_in = self.fenc_input.apply(vin, batch["input"])
+                f_tgt = self.fenc_target.apply(vtgt, target)
+        else:
+            f_in = self.fenc_input.apply({"params": params["fenc_input"]}, batch["input"])
+            f_tgt = self.fenc_target.apply({"params": params["fenc_target"]}, target)
         # (B, 1, 1, 1, z) -> (B, z), L2 normalize (ref train_retrieval.py:61-66)
         f_in = f_in.reshape(f_in.shape[0], -1)
         f_tgt = f_tgt.reshape(f_tgt.shape[0], -1)
@@ -113,11 +134,11 @@ class RetrievalTrainer:
             rng, k1, k2 = jax.random.split(rng, 3)
             f_in = f_in + jax.random.normal(k1, f_in.shape) * cfg["code_noise_std"]
             f_tgt = f_tgt + jax.random.normal(k2, f_tgt.shape) * cfg["code_noise_std"]
-        return f_in, f_tgt, target
+        return f_in, f_tgt, target, new_stats
 
-    def _loss_fn(self, params, batch, train, rng):
+    def _loss_fn(self, params, batch, train, rng, batch_stats=None):
         cfg = self._loss_cfg
-        f_in, f_tgt, target = self._embed(params, batch, train, rng)
+        f_in, f_tgt, target, new_stats = self._embed(params, batch, train, rng, batch_stats)
         iou_matrix = None
         if cfg["iou_scaling"]:
             denorm = batch["target"] * cfg["target_std"] + cfg["target_mean"]
@@ -126,19 +147,21 @@ class RetrievalTrainer:
             iou_matrix = jnp.tile(m, (2, 2))
         loss_contrastive = nt_xent_loss(f_in, f_tgt, cfg["temperature"], iou_matrix)
         total = loss_contrastive * cfg["w_contrastive"]
-        return total, loss_contrastive
+        return total, (loss_contrastive, new_stats)
 
     def _build_train_step(self, train: bool):
         def step(state: TrainState, batch, rng):
             if not train:
-                total, contrastive = self._loss_fn(state.params, batch, False, rng)
+                total, (contrastive, _) = self._loss_fn(
+                    state.params, batch, False, rng, state.batch_stats)
                 return state, total, contrastive
-            (total, contrastive), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(state.params, batch, True, rng)
+            (total, (contrastive, new_stats)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True)(state.params, batch, True, rng, state.batch_stats)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             import optax
             new_params = optax.apply_updates(state.params, updates)
-            return TrainState(new_params, new_opt, state.step + 1), total, contrastive
+            stats = new_stats if self.has_batch_stats else state.batch_stats
+            return TrainState(new_params, new_opt, state.step + 1, stats), total, contrastive
         # only the train step donates: eval discards the returned state, so its
         # input buffers must stay valid
         return jax.jit(step, donate_argnums=(0,) if train else ())
@@ -198,8 +221,15 @@ class RetrievalTrainer:
 
     def encoder_apply_fns(self):
         p = self.state.params
-        jit_in = jax.jit(lambda x: self.fenc_input.apply({"params": p["fenc_input"]}, x))
-        jit_tgt = jax.jit(lambda x: self.fenc_target.apply({"params": p["fenc_target"]}, x))
+        if self.has_batch_stats:
+            bs = self.state.batch_stats
+            jit_in = jax.jit(lambda x: self.fenc_input.apply(
+                {"params": p["fenc_input"], "batch_stats": bs["fenc_input"]}, x))
+            jit_tgt = jax.jit(lambda x: self.fenc_target.apply(
+                {"params": p["fenc_target"], "batch_stats": bs["fenc_target"]}, x))
+        else:
+            jit_in = jax.jit(lambda x: self.fenc_input.apply({"params": p["fenc_input"]}, x))
+            jit_tgt = jax.jit(lambda x: self.fenc_target.apply({"params": p["fenc_target"]}, x))
         return jit_in, jit_tgt
 
     def retrieval_validation(self, epoch: int, logger=None):

@@ -118,3 +118,29 @@ def test_full_retrieval_validation(trainer):
         iou, cd, p, r = res[key]
         assert 0 <= iou <= 1 and 0 <= p <= 1 and 0 <= r <= 1
         assert np.isfinite(cd)
+
+
+def test_batchnorm_encoder_variant_trains(synth_superres_root, tmp_path, monkeypatch):
+    """PatchNorm* encoders carry BatchNorm running stats through the train
+    step (SURVEY hard-parts item)."""
+    import jax
+    import numpy as np
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    monkeypatch.chdir(tmp_path)
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    cfg["retrieval_training"]["batch_size"] = 8
+    # BatchNorm exercised via the target encoder (16+8N -> PatchNorm32); the
+    # input geometry stays the dataset's 2+1 MLP
+    cfg["retrieval_model"].update(network_input="2+1", network_target="16+8N",
+                                  nf_input=4, nf_target=4, latent_dim=16)
+    cfg["experiment"] = "test_bn"
+    tr = RetrievalTrainer(cfg, enable_vis=False)
+    assert tr.has_batch_stats
+    stats_before = jax.tree_util.tree_leaves(tr.state.batch_stats)
+    means_before = [np.asarray(x).copy() for x in stats_before]
+    tr.fit(max_epochs=1, run_retrieval_validation=False, max_steps_per_epoch=2, save_epoch=100)
+    stats_after = jax.tree_util.tree_leaves(tr.state.batch_stats)
+    # running stats updated by training
+    assert any(not np.allclose(a, b) for a, b in zip(means_before, stats_after))
+    val = tr.validate(0, run_retrieval_validation=False)
+    assert np.isfinite(val)
