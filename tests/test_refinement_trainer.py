@@ -133,3 +133,20 @@ def test_checkpoint_roundtrip_and_subnet_warmstart(trainer, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(sub)[0]),
         np.asarray(jax.tree_util.tree_leaves(ref)[0]))
+
+
+def test_run_visualization_writes_meshes(trainer, tmp_path, monkeypatch):
+    """Vis-inference loop: forward_full, chunk stitching, native isosurface
+    OBJ dumps (the reference's deployable inference path, SURVEY §3.4)."""
+    monkeypatch.chdir(tmp_path)
+    out = trainer.run_visualization("val")
+    objs = list(out.glob("*.obj"))
+    # gt / fuse / input per vis scene
+    assert len(objs) >= 3
+    kinds = {o.name.rsplit("_", 1)[1] for o in objs}
+    assert {"gt.obj", "fuse.obj", "input.obj"} <= kinds
+    # OBJ files parse and are non-trivial
+    from retrieval_fuse_tpu.evaluation.mesh import Mesh
+    gt = next(o for o in objs if o.name.endswith("_gt.obj"))
+    m = Mesh.load(gt)
+    assert len(m.faces) > 100
