@@ -15,10 +15,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: repeated runs (and driver re-runs) skip the
+# expensive XLA compiles, which also keeps flaky remote-compile transports
+# out of the measurement path
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def build_flagship(compute_dtype=None):
@@ -118,25 +133,28 @@ def main():
         raise _Watchdog()
 
     signal.signal(signal.SIGALRM, _alarm)
+    _enable_compile_cache()
     engine = build_flagship()
     print("# engine built", file=sys.stderr, flush=True)
     best = 0.0
     best_b = 0
-    for b in (64, 128, 256):
+    for b in (256, 128, 64):
         try:
             signal.alarm(420)  # bound compile+measure per batch size
             tput = measure(engine, b, iters=20)
             signal.alarm(0)
         except _Watchdog:
-            print(f"# batch {b} timed out", file=sys.stderr)
-            break
-        except Exception as e:  # OOM at large batch: keep the best so far
+            print(f"# batch {b} timed out", file=sys.stderr, flush=True)
+            continue  # a later (smaller) compile may still land
+        except Exception as e:  # OOM at large batch: try the next size down
             signal.alarm(0)
-            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
-            break
-        print(f"# batch {b}: {tput:.1f} chunks/sec", file=sys.stderr)
+            print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr, flush=True)
+            continue
+        print(f"# batch {b}: {tput:.1f} chunks/sec", file=sys.stderr, flush=True)
         if tput > best:
             best, best_b = tput, b
+        if best > 0:
+            break  # one solid number beats stressing a flaky transport
     baseline = 5000.0
     print(json.dumps({
         "metric": "retrieve_refine_throughput",

@@ -39,7 +39,7 @@ _DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1, 1), (1, 1, 1, 1, 1),
 
 def _conv3d_valid(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     return jax.lax.conv_general_dilated(
-        x, jnp.asarray(kernel), window_strides=(1, 1, 1), padding="VALID",
+        x, jnp.asarray(kernel, dtype=x.dtype), window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=_DN)
 
 

@@ -63,6 +63,13 @@ class RefinementTrainer:
         self.config = config
         self.mesh = mesh
         self.enable_vis = enable_vis
+        # TPU perf knobs (off by default for reference-value parity):
+        #   mixed_precision: bf16 activations/params inside the step, f32 loss
+        #     and optimizer state — keeps the MXU on its fast path;
+        #   remat: rematerialize the retrieval-backbone encode during backprop,
+        #     trading FLOPs for activation memory (larger per-chip batches).
+        self.mixed_precision = bool(config.get("mixed_precision", False))
+        self.remat = bool(config.get("remat", False))
         self.K = config["K"]
         self.phase = config.get("current_phase", 0)
         self.base_lr = config["lr"]
@@ -184,9 +191,13 @@ class RefinementTrainer:
     def _encode_shape_volumes(self, params, vol):
         """(N, 64, 64, 64, 1) -> (N, 32, 32, 32, nf) feature volumes via the
         retrieval backbone over unfolded 16³ patches."""
-        patches = unfold3d(vol, 16)
-        feats = self._apply(params, "retrieval_backbone", patches)
-        return fold3d(feats, self.n_fold, 8)
+        def encode(p, v):
+            patches = unfold3d(v, 16)
+            feats = self._apply(p, "retrieval_backbone", patches)
+            return fold3d(feats, self.n_fold, 8)
+        if self.remat:
+            encode = jax.checkpoint(encode)
+        return encode(params, vol)
 
     def forward_retrieval(self, params, batch):
         """Target autoencoding through the retrieval feature backbone
@@ -344,10 +355,24 @@ class RefinementTrainer:
     def _build_train_step(self, phase):
         tx = self._tx_by_phase[phase]
 
+        def loss_with_precision(p, batch, rng):
+            if self.mixed_precision:
+                def cast(x):
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                        return x.astype(jnp.bfloat16)
+                    return x
+                p = jax.tree_util.tree_map(cast, p)
+                batch = {k: cast(v) for k, v in batch.items()}
+            total, aux = self._phase_loss(phase, p, batch, rng)
+            return total.astype(jnp.float32), jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, aux)
+
         def step(state: TrainState, batch, rng):
             batch = self.augment_batch_data(batch)
             (total, aux), grads = jax.value_and_grad(
-                lambda p: self._phase_loss(phase, p, batch, rng), has_aux=True)(state.params)
+                lambda p: loss_with_precision(p, batch, rng), has_aux=True)(state.params)
+            if self.mixed_precision:  # grads arrive bf16; optimizer runs f32
+                grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_opt, state.step + 1), total, aux

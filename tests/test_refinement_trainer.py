@@ -150,3 +150,24 @@ def test_run_visualization_writes_meshes(trainer, tmp_path, monkeypatch):
     gt = next(o for o in objs if o.name.endswith("_gt.obj"))
     m = Mesh.load(gt)
     assert len(m.faces) > 100
+
+
+def test_mixed_precision_and_remat_step(synth_superres_root, tmp_path, monkeypatch):
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    monkeypatch.chdir(tmp_path)
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    cfg.update(nf=4, K=2, batch_size=1, unet_num_level=4, retrieval_fmaps=4,
+               retrieval_num_level=4, experiment="test_mp",
+               mixed_precision=True, remat=True, current_phase=3)
+    for d in ("dataset_train", "dataset_val"):
+        cfg[d].update(patch_size_input=8, patch_context_input=0, patch_size_target=64,
+                      patch_context_target=0, patch_stride=64)
+    tr = RefinementTrainer(cfg, enable_vis=False)
+    tr.set_phase(3)
+    from retrieval_fuse_tpu.data.loader import collate
+    batch = tr._device_batch(collate([tr.train_dataset[0]], 1))
+    state, total, aux = tr._train_steps[3](tr.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    # params stay f32 (optimizer precision)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
