@@ -468,6 +468,11 @@ class RefinementTrainer:
             if logger:
                 logger.log({f"{key}/{m}": v for m, v in results[key].items()}, step=self.global_step)
         print(tabulate(table, headers="firstrow", tablefmt="psql", floatfmt=".4f"))
+        if self.enable_vis:
+            # vis-inference + mesh dumps, rank-zero style (ref :152-173)
+            self.run_visualization("val")
+            if not self.config.get("disable_train_vis", True):
+                self.run_visualization("train")
         return results
 
     def run_visualization(self, out_tag: str = "val"):
