@@ -21,16 +21,15 @@ import time
 
 import numpy as np
 
-# persistent compilation cache: repeated runs (and driver re-runs) skip the
-# expensive XLA compiles, which also keeps flaky remote-compile transports
-# out of the measurement path
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
-
 def _enable_compile_cache():
+    """Persistent compilation cache — only when the backend compiles locally
+    (remote-compile transports reject serialized-executable caching)."""
     import jax
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        return
     try:
-        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -84,3 +84,41 @@ def test_build_patch_bank_tiling(synth_superres_config):
     # row ordering: scene-major, patch row-major — row 1 is tile (0,0,1) of scene 0
     vol = ds.get_scene_target(ds.scenes[0])
     np.testing.assert_allclose(bank[1], vol[0:16, 0:16, 16:32])
+
+
+def test_engine_mesh_sharded_batch(setup):
+    """Serving with the batch axis sharded over the 8-device mesh."""
+    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    params, db, bank, _ = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, mesh=get_mesh(),
+                               compute_dtype=jnp.float32, use_feature_bank=True)
+    rng = np.random.default_rng(1)
+    x = rng.random((8, 8, 8, 8, 1)).astype(np.float32) * 0.5
+    out = np.asarray(eng(x))
+    assert out.shape == (8, 64, 64, 64, 1)
+    # must equal the unsharded result
+    eng1 = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                use_feature_bank=True)
+    np.testing.assert_allclose(out, np.asarray(eng1(x)), atol=1e-5)
+
+
+def test_engine_16cubed_input_geometry(setup):
+    """Matterport-style geometry: 16³ input chunks, 4+2 patch encoder."""
+    from retrieval_fuse_tpu.models.encoders import make_encoder
+    params, db, bank, _ = setup
+    cfg = dict(CFG)
+    cfg["retrieval_model"] = dict(CFG["retrieval_model"], network_input="4+2")
+    cfg["dataset_train"] = dict(CFG["dataset_train"], input_chunk_size=16)
+    cfg["retrieval_patch_size_input"] = 4
+    cfg["retrieval_patch_context_input"] = 2
+    params = dict(params)
+    enc = make_encoder("Patch08", 4, 16)
+    params["fenc_input"] = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1)))["params"]
+    # 16³ input selects the Superresolution16 backbone — init matching params
+    from retrieval_fuse_tpu.models import get_unet_backbone
+    bb16 = get_unet_backbone(cfg)
+    params["unet_backbone"] = bb16.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 16, 1)))["params"]
+    eng = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=jnp.float32)
+    x = np.random.default_rng(2).random((2, 16, 16, 16, 1)).astype(np.float32) * 0.5
+    out = np.asarray(eng(x))
+    assert out.shape == (2, 64, 64, 64, 1)
