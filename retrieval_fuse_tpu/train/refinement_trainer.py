@@ -567,6 +567,12 @@ def main(argv=None):
     if config.get("resume"):
         trainer = RefinementTrainer(config, mesh=mesh)
         trainer.load(config["resume"])
+        if config.get("sanity_steps") == -1:
+            # inference-only smoke: full validation + mesh dumps, no training
+            # (parity: --sanity_steps -1 --resume <ckpt>, README.md:190-198)
+            trainer.validate()
+            trainer.run_visualization("val")
+            return trainer
         trainer.fit(max_epochs=config["max_epoch"], save_epoch=config["save_epoch"],
                     val_check_interval=max(1, int(config.get("val_check_interval", 1))))
         return trainer
