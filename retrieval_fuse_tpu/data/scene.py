@@ -305,3 +305,13 @@ class SceneHandler:
             visualization.visualize_grid_as_voxels(chunk, output_path)
         else:
             visualization.visualize_sdf_as_voxels(chunk, output_path, self.input_voxel_size * 0.675)
+
+    @staticmethod
+    def visualize_weight(chunk_weight, output_path):
+        from retrieval_fuse_tpu.utils import visualization
+        visualization.visualize_float_grid(chunk_weight, 1, 1, 4, output_path)
+
+    @staticmethod
+    def visualize_normal(chunk_normal, output_path):
+        from retrieval_fuse_tpu.utils import visualization
+        visualization.visualize_normals(chunk_normal, output_path)
