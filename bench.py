@@ -65,15 +65,24 @@ def build_flagship(compute_dtype=None):
     rb = get_retrieval_backbone(cfg)
     attn = get_attention_block(cfg, deterministic_selection=True)
     nf, K = cfg["nf"], cfg["K"]
-    params = {
-        "fenc_input": fenc_in.init(ks[0], jnp.zeros((1, 4, 4, 4, 1)))["params"],
-        "unet_backbone": unet.init(ks[1], jnp.zeros((1, 8, 8, 8, 1)))["params"],
-        "decoder": dec.init(ks[2], jnp.zeros((1, 32, 32, 32, nf)))["params"],
-        "retrieval_backbone": rb.init(ks[3], jnp.zeros((1, 16, 16, 16, 1)))["params"],
-        "patched_attention_block": attn.init(
-            {"params": ks[4], "gumbel": ks[5]},
-            jnp.zeros((1, 32, 32, 32, nf)), jnp.zeros((K, 32, 32, 32, nf)))["params"],
-    }
+    # param init runs on host CPU: abstract-eval-heavy module inits don't need
+    # the accelerator and avoid a pile of remote compiles at benchmark startup
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        params = {
+            "fenc_input": fenc_in.init(ks[0], jnp.zeros((1, 4, 4, 4, 1)))["params"],
+            "unet_backbone": unet.init(ks[1], jnp.zeros((1, 8, 8, 8, 1)))["params"],
+            "decoder": dec.init(ks[2], jnp.zeros((1, 32, 32, 32, nf)))["params"],
+            "retrieval_backbone": rb.init(ks[3], jnp.zeros((1, 16, 16, 16, 1)))["params"],
+            "patched_attention_block": attn.init(
+                {"params": ks[4], "gumbel": ks[5]},
+                jnp.zeros((1, 32, 32, 32, nf)), jnp.zeros((K, 32, 32, 32, nf)))["params"],
+        }
     # ShapeNetV2-scale synthetic database: 27,131 train chunks x 64 tiles is the
     # REAL deployment bank; for throughput the row values are irrelevant, only
     # the (N, D) matmul + (N, 16³) gather shapes matter. N kept at one scene
@@ -81,11 +90,16 @@ def build_flagship(compute_dtype=None):
     # ~0.5 GB host->device upload is pure noise for a throughput benchmark
     # (and chokes relayed/tunneled device transports).
     N = 27132
-    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
     db = jax.random.normal(k1, (N, 64), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
     bank = jax.random.uniform(k2, (N, 16, 16, 16), jnp.float32) * 0.0625
-    engine = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=compute_dtype)
+    # feature bank injected with random values: its one-time offline
+    # precompute is not part of serving throughput, and the gather/fold/
+    # attention path is value-independent in cost
+    feature_bank = jax.random.normal(k3, (N, 8, 8, 8, nf), compute_dtype)
+    engine = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=compute_dtype,
+                                  feature_bank=feature_bank)
     return engine
 
 

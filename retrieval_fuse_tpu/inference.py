@@ -50,7 +50,7 @@ class RetrieveRefineEngine:
 
     def __init__(self, config: dict, params: dict, database: jnp.ndarray,
                  patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16,
-                 use_feature_bank: bool = True):
+                 use_feature_bank: bool = True, feature_bank=None):
         """
         params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
                  'patched_attention_block'} param trees.
@@ -101,7 +101,9 @@ class RetrieveRefineEngine:
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
 
         self.feature_bank = None
-        if use_feature_bank:
+        if feature_bank is not None:
+            self.feature_bank = jnp.asarray(feature_bank, compute_dtype)
+        elif use_feature_bank:
             self.feature_bank = self._precompute_feature_bank()
         self._fn = jax.jit(self._pipeline)
 
