@@ -32,9 +32,6 @@ forward (trainer/train_refinement.py:108-120).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,7 +67,6 @@ class RetrieveRefineEngine:
         dtr = config["dataset_train"]
         self.tcs = dtr["target_chunk_size"]
         self.n_fold = self.tcs // 16
-        self.input_patch = config["retrieval_model"]["network_input"]
         # retrieval-geometry: input patches of size ps+2*ctx at stride ps
         rps = config.get("retrieval_patch_size_input", 2)
         rctx = config.get("retrieval_patch_context_input", 1)

@@ -14,8 +14,7 @@ XLA); convs are channels-last so XLA tiles them onto the MXU directly.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -46,16 +46,10 @@ def replicate(tree, mesh: Mesh):
 
 
 def data_parallel_jit(fn, mesh: Mesh, axis_name: str = "data", donate_argnums=()):
-    """jit `fn(state, batch, ...)` with state replicated and batch sharded on
-    the leading axis. XLA derives the all-reduce; nothing else needed."""
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis_name))
-
-    def spec_for(tree, sharding):
-        return jax.tree_util.tree_map(lambda _: sharding, tree)
-
-    # shardings resolved lazily at first call, via jax.jit's sharding hints on
-    # the arguments themselves (device_put in shard_batch / replicate)
+    """jit a step whose inputs carry their shardings (state replicated via
+    `replicate`, batch sharded via `shard_batch`); XLA propagates them and
+    inserts the gradient all-reduce — no explicit collectives."""
+    del mesh, axis_name  # shardings travel on the arguments themselves
     return jax.jit(fn, donate_argnums=donate_argnums)
 
 

@@ -17,7 +17,6 @@ Functional-JAX counterpart of the reference's Lightning module
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import flax.struct

@@ -16,7 +16,6 @@ single GPU — here it scales over chips with no code change).
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import flax.struct
