@@ -204,8 +204,10 @@ class Decoder(nn.Module):
     def __call__(self, encoder_features: jnp.ndarray, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.basic_module == "ExtResNetBlock":
             in_ch = x.shape[-1]
+            # SAME padding reproduces torch ConvTranspose3d(k=3, s=2, p=1)
+            # called with output_size=2D (output_padding auto-resolved)
             x = nn.ConvTranspose(self.out_channels, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-                                 padding=[(1, 1)] * 3, kernel_init=torch_kernel_init,
+                                 padding="SAME", kernel_init=torch_kernel_init,
                                  bias_init=torch_bias_init(in_ch * 27), name="upconv")(x)
             x = encoder_features + x
         else:

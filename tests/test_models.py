@@ -198,3 +198,20 @@ def test_patched_attention_block_end_to_end():
     R = cfg["attn_num_patch"]
     assert xf.shape == (B * R ** 3, 32)
     assert of.shape == (B * R ** 3,)
+
+
+def test_residual_unet3d_shapes():
+    from retrieval_fuse_tpu.models.unet import ResidualUNet3D
+    net = ResidualUNet3D(out_channels=4, f_maps=4, num_groups=2, layer_order="cge",
+                         num_levels=3, final_conv=True)
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    out = net.apply(net.init(KEY, x), x)
+    assert out.shape == (1, 8, 8, 8, 4)
+
+
+def test_ext_resnet_block_residual():
+    from retrieval_fuse_tpu.models.unet import ExtResNetBlock
+    blk = ExtResNetBlock(out_channels=4, order="cge", num_groups=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 4, 4, 3)).astype(np.float32))
+    out = blk.apply(blk.init(KEY, x), x)
+    assert out.shape == (2, 4, 4, 4, 4)
