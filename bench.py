@@ -151,7 +151,7 @@ def main():
     print("# engine built", file=sys.stderr, flush=True)
     best = 0.0
     best_b = 0
-    for b in (256, 128, 64):
+    for b in (128, 64, 32):
         try:
             signal.alarm(420)  # bound compile+measure per batch size
             tput = measure(engine, b, iters=20)
