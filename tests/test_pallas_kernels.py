@@ -42,3 +42,33 @@ def test_pallas_chamfer_matches_masked(rng):
     want = float(chamfer_masked(jnp.asarray(buf_a), jnp.int32(300),
                                 jnp.asarray(buf_b), jnp.int32(200)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pallas_attention_matches_flax(rng):
+    """Fused attention kernel vs AttentionBlock (deterministic selection and
+    softmax modes), interpret mode."""
+    import jax
+    from retrieval_fuse_tpu.models.attention import AttentionBlock
+    from retrieval_fuse_tpu.ops.pallas_attention import pallas_patch_attention
+
+    K, e, c = 3, 2, 4
+    f = c * e ** 3
+    n = 40
+    x = rng.standard_normal((n, e, e, e, c)).astype(np.float32)
+    p = rng.standard_normal((n, K, e, e, e, c)).astype(np.float32)
+
+    for retrieval_mode in (True, False):
+        blk = AttentionBlock(num_output_channels=c, patch_extent=e, K=K, normalize=True,
+                             retrieval_mode=retrieval_mode, no_output_mapping=True,
+                             blend=True, deterministic_selection=True)
+        v = blk.init({"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+                     jnp.asarray(x), jnp.asarray(p))
+        want = np.asarray(blk.apply(v, jnp.asarray(x), jnp.asarray(p),
+                                    rngs={"gumbel": jax.random.PRNGKey(2)}))
+        ab = v["params"]
+        got = pallas_patch_attention(
+            jnp.asarray(x.reshape(n, f)), jnp.asarray(p.reshape(n, K, f)),
+            ab["theta"], ab["phi"], K, retrieval_mode=retrieval_mode,
+            sharpness=float(32 * e ** 3 * 4), tile=16, interpret=True)
+        np.testing.assert_allclose(got.reshape(n, e, e, e, c), want, atol=2e-5,
+                                   err_msg=f"retrieval_mode={retrieval_mode}")
