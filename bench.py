@@ -151,7 +151,9 @@ def main():
     print("# engine built", file=sys.stderr, flush=True)
     best = 0.0
     best_b = 0
-    for b in (128, 64, 32):
+    # descending ladder: the first size whose compile lands wins; small sizes
+    # are the safety net for degraded remote-compile transports
+    for b in (128, 64, 16):
         try:
             signal.alarm(420)  # bound compile+measure per batch size
             tput = measure(engine, b, iters=20)
