@@ -178,3 +178,110 @@ def test_torch_import_roundtrip_conv_encoder():
     out_a = enc.apply({"params": p}, x)
     out_b = enc.apply({"params": imported}, x)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def _torch_double_conv(x, p, encoder, out_ch, num_groups=2):
+    in_ch = x.shape[1]
+    mid = max(out_ch // 2, in_ch) if encoder else out_ch
+    x = _torch_single_conv(x, p["SingleConv1"], num_groups=num_groups)
+    x = _torch_single_conv(x, p["SingleConv2"], num_groups=num_groups)
+    del mid
+    return x
+
+
+def _torch_unet3d(x, p, f_maps, out_channels, remove_n=0, num_groups=2):
+    """Generic torch evaluation of our UNet3D param tree (gcr order)."""
+    feats = []
+    for i in range(len(f_maps)):
+        if i > 0:
+            x = F.max_pool3d(x, 2)
+        x = _torch_double_conv(x, p[f"encoders_{i}"]["basic_module"], True, f_maps[i], num_groups)
+        feats.insert(0, x)
+    feats = feats[1:]
+    rfm = list(reversed(f_maps))
+    if remove_n > 0:
+        rfm = rfm[:-remove_n]
+    rfm_mod = list(rfm)
+    rfm_mod[-1] = out_channels
+    for i in range(len(rfm) - 1):
+        bm = p[f"decoders_{i}"]["basic_module"]
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        x = torch.cat([feats[i], x], dim=1)
+        x = _torch_single_conv(x, bm["SingleConv1"], num_groups=num_groups)
+        x = _torch_single_conv(x, bm["SingleConv2"], num_groups=num_groups)
+    return x
+
+
+def _torch_decoder_no_joining(x, p, num_groups=2):
+    x = F.interpolate(x, scale_factor=2, mode="nearest")
+    x = _torch_single_conv(x, p["basic_module"]["SingleConv1"], num_groups=num_groups)
+    x = _torch_single_conv(x, p["basic_module"]["SingleConv2"], num_groups=num_groups)
+    return x
+
+
+def test_superres08_backbone_matches_torch():
+    """Full SR08 backbone (UNet3D + two skip-free upsampling decoders)."""
+    from retrieval_fuse_tpu.models.refinement import Superresolution08UNetBackbone
+    nf = 4
+    net = Superresolution08UNetBackbone(nf=nf, num_levels=3, layer_order="gcr")
+    x = np.random.default_rng(4).standard_normal((1, 8, 8, 8, 1)).astype(np.float32)
+    v = net.init(KEY, jnp.asarray(x))
+    out_flax = np.asarray(net.apply(v, jnp.asarray(x)))
+
+    p = v["params"]
+    f_maps = [nf, 2 * nf, 4 * nf]
+    xt = _torch_unet3d(nchw(x), p["unet"], f_maps, 2 * nf, num_groups=nf // 2)
+    xt = _torch_decoder_no_joining(xt, p["up0"], num_groups=nf // 2)
+    xt = _torch_decoder_no_joining(xt, p["up1"], num_groups=nf // 2)
+    out_torch = xt.permute(0, 2, 3, 4, 1).numpy()
+    assert out_flax.shape == out_torch.shape == (1, 32, 32, 32, nf)
+    np.testing.assert_allclose(out_flax, out_torch, atol=5e-4)
+
+
+def test_retrieval_backbone_matches_torch():
+    """UNet3D with remove_n_final_layers=1 (truncated StepDown decoder)."""
+    from retrieval_fuse_tpu.models.refinement import RetrievalUNetBackbone
+    nf = 4
+    net = RetrievalUNetBackbone(nf=nf, f_maps=nf, num_levels=3, layer_order="gcr")
+    x = np.random.default_rng(5).standard_normal((2, 16, 16, 16, 1)).astype(np.float32)
+    v = net.init(KEY, jnp.asarray(x))
+    out_flax = np.asarray(net.apply(v, jnp.asarray(x)))
+
+    p = v["params"]["unet"]
+    f_maps = [nf, 2 * nf, 4 * nf]
+    # encoders
+    xt = nchw(x)
+    feats = []
+    for i in range(3):
+        if i > 0:
+            xt = F.max_pool3d(xt, 2)
+        xt = _torch_double_conv(xt, p[f"encoders_{i}"]["basic_module"], True, f_maps[i], nf // 2)
+        feats.insert(0, xt)
+    feats = feats[1:]
+    # single decoder (remove 1): StepDownDoubleConv after upsample+concat
+    bm = p["decoders_0"]["basic_module"]
+    xt = F.interpolate(xt, scale_factor=2, mode="nearest")
+    xt = torch.cat([feats[0], xt], dim=1)
+    xt = _torch_single_conv(xt, bm["SingleConv1"], num_groups=nf // 2)
+    xt = _torch_single_conv(xt, bm["SingleConv2"], num_groups=nf // 2)
+    out_torch = xt.permute(0, 2, 3, 4, 1).numpy()
+    assert out_flax.shape == out_torch.shape == (2, 8, 8, 8, nf)
+    np.testing.assert_allclose(out_flax, out_torch, atol=5e-4)
+
+
+def test_final_decoder_matches_torch():
+    from retrieval_fuse_tpu.models.refinement import Superresolution08FinalDecoder
+    nf = 4
+    net = Superresolution08FinalDecoder(nf=nf, layer_order="gcr")
+    x = np.random.default_rng(6).standard_normal((1, 8, 8, 8, nf)).astype(np.float32)
+    v = net.init(KEY, jnp.asarray(x))
+    out_flax = np.asarray(net.apply(v, jnp.asarray(x)))
+
+    p = v["params"]
+    xt = _torch_decoder_no_joining(nchw(x), p["up0"], num_groups=nf // 2)
+    w = to_torch_conv_w(p["final_conv"]["kernel"])
+    b = t(p["final_conv"]["bias"])
+    xt = torch.tanh(F.conv3d(xt, w, b))
+    out_torch = xt.permute(0, 2, 3, 4, 1).numpy()
+    assert out_flax.shape == out_torch.shape == (1, 16, 16, 16, 1)
+    np.testing.assert_allclose(out_flax, out_torch, atol=5e-4)
