@@ -135,6 +135,22 @@ def measure(engine, batch_size: int, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
+def measure_simple(engine, batch_size: int, iters: int = 10) -> float:
+    """Fallback: time plain engine calls with a per-iteration scalar fetch.
+    Each fetch forces completion, so the number is honest; it additionally
+    pays per-call transport latency, making it a conservative floor."""
+    rng = np.random.default_rng(1)
+    x = rng.random((batch_size, 8, 8, 8, 1)).astype(np.float32) * 0.5
+    out = engine(x)
+    float(out[0, 0, 0, 0, 0])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine(x)
+        float(out[0, 0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 class _Watchdog(Exception):
     pass
 
@@ -170,6 +186,16 @@ def main():
             best, best_b = tput, b
         if best > 0:
             break  # one solid number beats stressing a flaky transport
+    if best == 0.0:
+        # degraded-transport floor: small batch, per-call fetch
+        try:
+            signal.alarm(420)
+            best, best_b = measure_simple(engine, 8), 8
+            signal.alarm(0)
+            print(f"# fallback batch 8 (per-call fetch): {best:.1f} chunks/sec",
+                  file=sys.stderr, flush=True)
+        except (_Watchdog, Exception):
+            signal.alarm(0)
     # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
     # on ONE chip; serving is pure data parallelism (batch-sharded, zero
     # cross-chip traffic), so the per-chip share of the target is 5000/8.
