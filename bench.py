@@ -187,15 +187,17 @@ def main():
         if best > 0:
             break  # one solid number beats stressing a flaky transport
     if best == 0.0:
-        # degraded-transport floor: small batch, per-call fetch
-        try:
-            signal.alarm(420)
-            best, best_b = measure_simple(engine, 8), 8
-            signal.alarm(0)
-            print(f"# fallback batch 8 (per-call fetch): {best:.1f} chunks/sec",
-                  file=sys.stderr, flush=True)
-        except (_Watchdog, Exception):
-            signal.alarm(0)
+        # degraded-transport floor: plain engine calls, per-call fetch
+        for b in (64, 8):
+            try:
+                signal.alarm(420)
+                best, best_b = measure_simple(engine, b), b
+                signal.alarm(0)
+                print(f"# fallback batch {b} (per-call fetch): {best:.1f} chunks/sec",
+                      file=sys.stderr, flush=True)
+                break
+            except (_Watchdog, Exception):
+                signal.alarm(0)
     # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
     # on ONE chip; serving is pure data parallelism (batch-sharded, zero
     # cross-chip traffic), so the per-chip share of the target is 5000/8.
