@@ -176,8 +176,10 @@ def main():
     here = os.path.abspath(__file__)
     best = 0.0
     best_b = 0
-    ladder = [("chained", 128), ("chained", 64), ("chained", 16),
-              ("simple", 64), ("simple", 8)]
+    # combined-fetch ("simple") first: pipelined executions, one forcing
+    # fetch — best honest throughput and the most compile-reliable program;
+    # strictly-serial chained mode and a tiny batch as safety nets
+    ladder = [("simple", 128), ("simple", 64), ("chained", 64), ("simple", 8)]
     for mode, b in ladder:
         try:
             proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b)],
