@@ -101,6 +101,10 @@ class RetrieveRefineEngine:
             self.feature_bank = jnp.asarray(feature_bank, compute_dtype)
         elif use_feature_bank:
             self.feature_bank = self._precompute_feature_bank()
+        if self.feature_bank is not None:
+            # raw tiles are not referenced by the feature-bank pipeline;
+            # release their HBM (keeps batch headroom for large B)
+            self.patch_bank = None
         self._fn = jax.jit(self._pipeline)
 
     def _precompute_feature_bank(self, batch: int = 4096) -> jnp.ndarray:
