@@ -147,8 +147,11 @@ def measure_simple(engine, batch_size: int, iters: int = 20) -> float:
     out = engine(x)
     float(out[0, 0, 0, 0, 0])  # compile + warm + drain
     t0 = time.perf_counter()
-    outs = [engine(xi) for xi in xs]
-    total = jnp.stack([o[0, 0, 0, 0, 0] for o in outs]).sum()
+    # reduce each output to a device scalar immediately so the big output
+    # buffer frees as soon as its execution retires (holding all outputs
+    # alive would OOM large batches)
+    scalars = [engine(xi)[0, 0, 0, 0, 0] for xi in xs]
+    total = jnp.stack(scalars).sum()
     float(total)  # single fetch bounds all executions
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
