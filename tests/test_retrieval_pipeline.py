@@ -144,3 +144,47 @@ def test_batchnorm_encoder_variant_trains(synth_superres_root, tmp_path, monkeyp
     assert any(not np.allclose(a, b) for a, b in zip(means_before, stats_after))
     val = tr.validate(0, run_retrieval_validation=False)
     assert np.isfinite(val)
+
+
+def test_compose_overlapping_stride_distance_priority(synth_superres_root, tmp_path, monkeypatch):
+    """With stride < patch size, overlapping regions keep the LOWEST-distance
+    patch via the running distance volume (ref util/retrieval.py:148-164)."""
+    import json
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    monkeypatch.chdir(tmp_path)
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    # overlapping: stride 8 < patch 16 (context 0 keeps the math transparent)
+    for d in ("dataset_train", "dataset_val"):
+        cfg[d].update(patch_stride=8, patch_context_target=0, patch_context_input=0,
+                      patch_size_input=2, occupancy_threshold=-1)
+    from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset
+    sh = SceneHandler("train", cfg)
+    ds = PatchedSceneDataset("train", cfg["dataset_train"], sh)
+    assert not ds.no_overlap
+    scene = ds.scenes[0]
+    tree = tmp_path / "tree"
+    tree.mkdir()
+    (tree / "index.json").write_text(json.dumps(ds.scenes))
+    # synthetic mapping: patch at x0==0 retrieves scene 0's [0,16)³ region with
+    # LOW distance; every other patch retrieves scene 1's region with HIGH
+    # distance — in overlaps, scene 0's content must win
+    mapping = {}
+    for p in ds.patch_from_scene_lookup[scene]:
+        _, ext = SceneHandler.get_extent_from_name(p)
+        if ext[0] == 0 and ext[2] == 0 and ext[4] == 0:
+            mapping[p] = np.array([[0, 0, 16, 0, 16, 0, 16, 0.001]])
+        else:
+            mapping[p] = np.array([[1, 0, 16, 0, 16, 0, 16, 5.0]])
+    vol = create_retrieval_from_mapping(scene, mapping, 1, ds, ds, tree)
+    # the reference's priority rule compares the REGION-MEAN of the running
+    # distance volume, so later patches can overwrite parts of a better
+    # patch's region when their window also spans untouched (distance-100)
+    # voxels; the only region guaranteed to keep the low-distance content is
+    # the one covered solely by the first patch: [0:8)³
+    want_low = ds.get_scene_target(ds.scenes[0])[0:8, 0:8, 0:8]
+    np.testing.assert_allclose(vol[0, 0:8, 0:8, 0:8], want_low, atol=1e-6)
+    # interior block [40:48)³: its last overlapping writer in enumeration
+    # order is the patch at (40,40,40) (its region mean still includes
+    # untouched distance-100 voxels, so it pastes), mapping scene 1's [0:8)³
+    want_high = ds.get_scene_target(ds.scenes[1])[0:8, 0:8, 0:8]
+    np.testing.assert_allclose(vol[0, 40:48, 40:48, 40:48], want_high, atol=1e-6)
