@@ -1,0 +1,67 @@
+"""Training-step throughput benchmark (supplementary; the driver runs bench.py).
+
+Measures phase-3 refinement training steps (full fused forward, all losses,
+gradients, optimizer update) in chunks/sec on one chip, with the same
+combined-fetch timing discipline as bench.py. Run:  python bench_train.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True):
+    import jax
+    import jax.numpy as jnp
+    from retrieval_fuse_tpu.data.synthetic import generate_synthetic_dataset, make_synthetic_config
+    from retrieval_fuse_tpu.data.loader import collate
+    from retrieval_fuse_tpu.train.refinement_trainer import RefinementTrainer
+
+    tmp = tempfile.mkdtemp(prefix="rf_benchtrain_")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        generate_synthetic_dataset(tmp, n_train=2, n_val=1, seed=0)
+        cfg = make_synthetic_config(tmp, task="superresolution")
+        cfg.update(nf=16, K=4, batch_size=batch_size, unet_num_level=4,
+                   retrieval_fmaps=16, retrieval_num_level=4,
+                   experiment="bench_train", current_phase=3,
+                   mixed_precision=mixed_precision)
+        for d in ("dataset_train", "dataset_val"):
+            cfg[d].update(patch_size_input=8, patch_context_input=0,
+                          patch_size_target=64, patch_context_target=0, patch_stride=64)
+        trainer = RefinementTrainer(cfg, enable_vis=False)
+        trainer.set_phase(3)
+        items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(batch_size)]
+        batch = trainer._device_batch(collate(items, batch_size))
+        step = trainer._train_steps[3]
+        rng = jax.random.PRNGKey(0)
+        state, total, _ = step(trainer.state, batch, rng)
+        float(total)  # compile + warm
+        t0 = time.perf_counter()
+        totals = []
+        for i in range(iters):
+            rng, k = jax.random.split(rng)
+            state, total, _ = step(state, batch, k)
+            totals.append(total)
+        float(jnp.stack(totals).sum())  # single forcing fetch
+        dt = time.perf_counter() - t0
+        tput = batch_size * iters / dt
+        print(json.dumps({"metric": "refinement_train_step_throughput_per_chip",
+                          "value": round(tput, 1), "unit": "chunks/sec",
+                          "mixed_precision": mixed_precision,
+                          "batch_size": batch_size}))
+        return tput
+    finally:
+        os.chdir(cwd)
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(batch_size=b)
