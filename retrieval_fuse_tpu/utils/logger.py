@@ -103,3 +103,22 @@ def trace_profile(log_dir, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def log_images(logger: "MetricsLogger", image_dir, step: int | None = None,
+               prefix: str = "visualization") -> int:
+    """Mirror rendered JPEG panels to W&B when available (the reference
+    uploads render panels per epoch, trainer/train_retrieval.py:143-145);
+    always records the file list in the JSONL stream. Returns #images."""
+    from pathlib import Path
+    images = sorted(Path(image_dir).glob("*.jpg"))
+    if not images:
+        return 0
+    logger.log({f"{prefix}/count": len(images),
+                f"{prefix}/dir": str(image_dir)}, step=step)
+    if logger._wandb is not None:
+        wandb = logger._wandb
+        logger._wandb.log(
+            {f"{prefix}/{im.name}": [wandb.Image(str(im))] for im in images},
+            step=step)
+    return len(images)
