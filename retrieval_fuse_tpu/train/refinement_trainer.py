@@ -121,6 +121,17 @@ class RefinementTrainer:
         self._train_steps = {ph: self._build_train_step(ph) for ph in range(4)}
         self._val_forward = jax.jit(lambda p, b, r: self.forward_full(p, b, r))
 
+        def val_losses(params, batch, rng):
+            batch = self.augment_batch_data(batch)
+            pred_shape, pred_back, pred_retr, fpred, ftgt, occ = self.forward_full(params, batch, rng)
+            total, l1, normal = self.loss_shape(pred_shape, batch)
+            contrastive = self.compute_sliced_attn_nt_xent_loss(
+                pred_retr.shape[0] * 8, fpred, ftgt, occ)
+            return pred_shape, {"shape": total, "l1": l1, "normal": normal,
+                                "attn_contrastive": contrastive}
+
+        self._val_losses = jax.jit(val_losses)
+
     # ------------------------------------------------------------------ setup
 
     def _init_params(self, config):
@@ -438,12 +449,19 @@ class RefinementTrainer:
         for split_key, ds in [("val", self.val_dataset), ("train", self.dataset("train_eval"))]:
             metrics_fuse = [IoU(), Chamfer3D(), Precision(), Recall()]
             metrics_nn1 = [IoU(), Chamfer3D(), Precision(), Recall()]
+            loss_sums = {}
+            n_loss = 0
             for bi, batch in enumerate(batch_iterator(ds, self.batch_size, shuffle=False)):
                 if max_batches and bi >= max_batches:
                     break
                 db = self._device_batch(batch)
                 rng, k = jax.random.split(rng)
-                pred_shape, *_ = self._val_forward(self.state.params, db, k)
+                # per-batch validation losses, like the reference's
+                # get_evaluation_for_batch (trainer/train_refinement.py:223-229)
+                pred_shape, losses = self._val_losses(self.state.params, db, k)
+                for lk, lv in losses.items():
+                    loss_sums[lk] = loss_sums.get(lk, 0.0) + float(lv)
+                n_loss += 1
                 thr = self._cfg["target_voxel_size"] * 0.75
                 pred_df = self.network_pred_to_df(np.asarray(pred_shape))
                 target_occ = np.asarray(self.denormalize_target(db["target"])) <= thr
@@ -455,6 +473,9 @@ class RefinementTrainer:
                     m.update(nn1_occ, target_occ, n_valid=batch["valid"])
             metric_sets[f"{split_key}_fuse"] = metrics_fuse
             metric_sets[f"{split_key}_nn1"] = metrics_nn1
+            if logger and n_loss:
+                logger.log({f"{split_key}_full/{lk}": v / n_loss for lk, v in loss_sums.items()},
+                           step=self.global_step)
         table = [["split", "shape", "iou (rough)", "cd (rough)", "precision (rough)",
                   "recall (rough)", "f1 (rough)"]]
         results = {}

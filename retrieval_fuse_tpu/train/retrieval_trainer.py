@@ -258,6 +258,9 @@ class RetrievalTrainer:
                   f"P: {metrics[2]:.3f} | R: {metrics[3]:.3f}")
         if self.enable_vis:
             self._visualize(output_dir, ds_val, results["val"][0], logger)
+            if logger:
+                from retrieval_fuse_tpu.utils.logger import log_images
+                log_images(logger, output_dir / "render_val_vis", step=self.global_step)
         return {k: v[1] for k, v in results.items()}
 
     def _visualize(self, output_dir: Path, ds_val, val_retrievals, logger):
