@@ -38,11 +38,19 @@ def collate(items: list[dict], batch_size: int) -> dict:
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = False, drop_last: bool = False,
-                   seed: int = 0, prefetch: int = 2):
-    """Yield fixed-shape batches; optionally shuffled, optionally prefetched."""
+                   seed: int = 0, prefetch: int = 2,
+                   process_index: int = 0, process_count: int = 1):
+    """Yield fixed-shape batches; optionally shuffled, optionally prefetched.
+
+    Multi-host: pass jax.process_index()/process_count() — every host shuffles
+    with the same seed then takes a disjoint strided shard, so the global
+    epoch covers each item exactly once (the analog of torch's
+    DistributedSampler the reference got from Lightning DDP)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if process_count > 1:
+        order = order[process_index::process_count]
     if drop_last:
         order = order[: (len(order) // batch_size) * batch_size]
     if len(order) == 0:

@@ -73,3 +73,20 @@ def process_local_batch_slice(global_batch_size: int) -> tuple[int, int]:
     import jax
     per = global_batch_size // jax.process_count()
     return jax.process_index() * per, per
+
+
+def make_global_batch(local_batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Multi-host: assemble per-host numpy batches into global jax.Arrays
+    sharded over the mesh's data axis (jax.make_array_from_process_local_data).
+    Single-host falls back to shard_batch."""
+    import jax
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh, axis_name)
+    sharding = NamedSharding(mesh, P(axis_name))
+    out = {}
+    for k, v in local_batch.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        else:
+            out[k] = v
+    return out

@@ -58,3 +58,19 @@ def test_refinement_phase_chaining(synth_superres_root, tmp_path, monkeypatch):
     from pathlib import Path
     ckpts = sorted(Path("runs/test_chain").glob("ckpt_epoch=*"))
     assert len(ckpts) >= 2
+
+
+def test_batch_iterator_process_sharding(synth_superres_config):
+    from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset, batch_iterator
+    cfg = synth_superres_config
+    sh = SceneHandler("train", cfg)
+    ds = PatchedSceneDataset("train", cfg["dataset_train"], sh)
+    seen = []
+    for pi in range(4):
+        for b in batch_iterator(ds, 5, shuffle=True, seed=3, prefetch=0,
+                                process_index=pi, process_count=4):
+            seen.extend(b["name"][: b["valid"]])
+    # the union over hosts covers every item exactly once
+    assert len(seen) == len(ds)
+    assert len(set(seen)) == len(set(
+        SceneHandler.get_name_from_extent(d[0], d[2]) for d in ds.data))
