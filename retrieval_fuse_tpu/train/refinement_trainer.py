@@ -416,7 +416,9 @@ class RefinementTrainer:
             n = 0
             total = aux = None
             for batch in batch_iterator(self.train_dataset, self.batch_size, shuffle=True,
-                                        drop_last=True, seed=epoch):
+                                        drop_last=True, seed=epoch,
+                                        process_index=jax.process_index(),
+                                        process_count=jax.process_count()):
                 lr = self._set_lr(epoch)
                 rng, k = jax.random.split(rng)
                 self.state, total, aux = step_fn(self.state, self._device_batch(batch), k)

@@ -182,7 +182,9 @@ class RetrievalTrainer:
         for epoch in range(max_epochs):
             n = 0
             for batch in batch_iterator(self.train_dataset, self.batch_size, shuffle=True,
-                                        drop_last=True, seed=epoch):
+                                        drop_last=True, seed=epoch,
+                                        process_index=jax.process_index(),
+                                        process_count=jax.process_count()):
                 lr = sched.current_lr(self.base_lr, self.milestones, self.global_step, epoch)
                 self.current_learning_rate = lr
                 self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
