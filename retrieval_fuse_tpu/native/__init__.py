@@ -3,7 +3,9 @@
 Builds lazily with g++ on first use; the compiled .so is cached next to the
 source. Components:
   * marching_cubes: host isosurface extraction (counterpart of the
-    reference's marching_cubes C++ extension, util/visualization.py:1).
+    reference's marching_cubes C++ extension, util/visualization.py:1);
+  * compose_paste: distance-priority patch pasting for the offline compose
+    stage (hot host loop of util/retrieval.py:145-164).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent
 _LIB_PATH = _NATIVE_DIR / "libretrievalfuse_native.so"
-_SOURCES = ["marching_cubes.cpp"]
+_SOURCES = ["marching_cubes.cpp", "compose.cpp"]
 
 _lib = None
 
@@ -44,6 +46,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.c_int),
         ]
         lib.mc_free.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.compose_paste.restype = None
+        lib.compose_paste.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
     return _lib
 
@@ -84,3 +93,26 @@ def export_obj(verts: np.ndarray, tris: np.ndarray, path) -> None:
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in tris:
             f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def compose_paste(volume: np.ndarray, distances: np.ndarray, crops: np.ndarray,
+                  extents: np.ndarray, dists: np.ndarray, no_overlap: bool) -> None:
+    """In-place distance-priority paste of P crops into a scene volume.
+
+    volume/distances: (X, Y, Z) f32 C-contiguous (mutated);
+    crops: (P, ps, ps, ps) f32; extents: (P, 6) i32; dists: (P,) f32.
+    """
+    lib = get_lib()
+    assert volume.flags.c_contiguous and distances.flags.c_contiguous
+    crops = np.ascontiguousarray(crops, np.float32)
+    extents = np.ascontiguousarray(extents, np.int32)
+    dists = np.ascontiguousarray(dists, np.float32)
+    ps = crops.shape[1]
+    lib.compose_paste(
+        volume.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        distances.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        volume.shape[0], volume.shape[1], volume.shape[2],
+        crops.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        extents.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        crops.shape[0], ps, 1 if no_overlap else 0)

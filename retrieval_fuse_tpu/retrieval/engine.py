@@ -71,15 +71,21 @@ def query_dictionary_using_features(query_config: dict, patch_names, input_featu
 
 
 def create_retrieval_from_mapping(scene_name: str, retrieval_mappings: dict, K: int,
-                                  dataset_train, dataset, tree_path) -> np.ndarray:
+                                  dataset_train, dataset, tree_path,
+                                  use_native: bool = False) -> np.ndarray:
     """Paste retrieved train-scene crops into K full-scene volumes.
 
     Parity: reference util/retrieval.py:145-164 — trunc-ratio rescaling,
     zero-patch rows paste trunc everywhere, and with overlapping strides the
     lowest-distance patch wins per region via a running distance volume.
-    Host-side numpy, per scene (shardable per host like the reference's
-    --num_proc/--proc fan-out).
+    Host-side, per scene (shardable per host like the reference's
+    --num_proc/--proc fan-out); `use_native` routes the paste loop through
+    the C++ kernel (native/compose.cpp) — python gathers the crops, C++
+    applies the priority rule (identical results, tested).
     """
+    if use_native:
+        return _create_retrieval_from_mapping_native(
+            scene_name, retrieval_mappings, K, dataset_train, dataset, tree_path)
     dataset_index = json.loads((Path(tree_path) / "index.json").read_text())
     scene_size = dataset.get_scene_size(scene_name)
     scene_retrieval = np.ones((K, scene_size[0], scene_size[1], scene_size[2]), dtype=np.float32) * dataset.target_trunc
@@ -99,6 +105,38 @@ def create_retrieval_from_mapping(scene_name: str, retrieval_mappings: dict, K: 
                 scene_retrieval[k, xx0:xx1, yy0:yy1, zz0:zz1] = (
                     shape[X0:X1, Y0:Y1, Z0:Z1] * (dataset.target_trunc / dataset_train.target_trunc))
                 distances[k, xx0:xx1, yy0:yy1, zz0:zz1] = float(current_distance)
+    return scene_retrieval
+
+
+def _create_retrieval_from_mapping_native(scene_name, retrieval_mappings, K,
+                                          dataset_train, dataset, tree_path) -> np.ndarray:
+    """Native-paste variant: gather crops in python, paste in C++."""
+    from retrieval_fuse_tpu.native import compose_paste
+    dataset_index = json.loads((Path(tree_path) / "index.json").read_text())
+    scene_size = dataset.get_scene_size(scene_name)
+    scene_retrieval = np.ones((K,) + tuple(scene_size), dtype=np.float32) * dataset.target_trunc
+    all_patches = dataset.patch_from_scene_lookup[scene_name]
+    scale = dataset.target_trunc / dataset_train.target_trunc
+    ps = dataset.target_patch_size
+    scene_cache: dict = {}
+    for k in range(K):
+        crops = np.empty((len(all_patches), ps, ps, ps), np.float32)
+        extents = np.empty((len(all_patches), 6), np.int32)
+        dists = np.empty(len(all_patches), np.float32)
+        for i, p in enumerate(all_patches):
+            row = retrieval_mappings[p][k]
+            X0, X1, Y0, Y1, Z0, Z1 = row[1:7].astype(np.int32).tolist()
+            extents[i] = dataset.unpad(*SceneHandler.get_extent_from_name(p)[1])
+            dists[i] = row[7]
+            idx = int(row[0])
+            if idx >= 0:
+                if idx not in scene_cache:
+                    scene_cache[idx] = dataset_train.get_scene_target(dataset_index[idx])
+                crops[i] = scene_cache[idx][X0:X1, Y0:Y1, Z0:Z1] * scale
+            else:
+                crops[i] = dataset.target_trunc
+        distances = np.full(tuple(scene_size), 100.0, np.float32)
+        compose_paste(scene_retrieval[k], distances, crops, extents, dists, dataset.no_overlap)
     return scene_retrieval
 
 

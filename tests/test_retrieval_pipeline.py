@@ -188,3 +188,20 @@ def test_compose_overlapping_stride_distance_priority(synth_superres_root, tmp_p
     # untouched distance-100 voxels, so it pastes), mapping scene 1's [0:8)³
     want_high = ds.get_scene_target(ds.scenes[1])[0:8, 0:8, 0:8]
     np.testing.assert_allclose(vol[0, 40:48, 40:48, 40:48], want_high, atol=1e-6)
+
+
+def test_native_compose_matches_numpy(trainer, tmp_path):
+    """C++ compose kernel produces identical volumes to the numpy path,
+    including overlapping-stride priority semantics."""
+    ds_train = trainer.dataset("train")
+    encode_in, encode_tgt = trainer.encoder_apply_fns()
+    create_dictionary(encode_tgt, trainer.config["dictionary"], trainer.latent_dim,
+                      ds_train, tmp_path)
+    q_cfg = dict(trainer.config["query"], K=2)
+    names, feats = extract_input_features(encode_in, q_cfg, trainer.latent_dim, ds_train)
+    mapping = query_dictionary_using_features(q_cfg, names, feats, ds_train, tmp_path, False)
+    scene = ds_train.scenes[0]
+    vol_np = create_retrieval_from_mapping(scene, mapping, 2, ds_train, ds_train, tmp_path)
+    vol_cc = create_retrieval_from_mapping(scene, mapping, 2, ds_train, ds_train, tmp_path,
+                                           use_native=True)
+    np.testing.assert_allclose(vol_cc, vol_np, atol=1e-6)
