@@ -23,7 +23,9 @@ from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset
 from retrieval_fuse_tpu.models import get_retrieval_networks
 from retrieval_fuse_tpu.retrieval.dictionary import (
     create_dictionary, extract_input_features, extract_target_features)
-from retrieval_fuse_tpu.retrieval.engine import RetrievalInterface
+from subprocess import CalledProcessError as subprocess_error
+
+from retrieval_fuse_tpu.retrieval.engine import RetrievalInterface, create_retrieval_from_mapping
 from retrieval_fuse_tpu.train.checkpoint import load_checkpoint
 from retrieval_fuse_tpu.utils.misc import get_retrievals_dir, get_tree_path
 from retrieval_fuse_tpu.utils.timer import Timer
@@ -72,8 +74,13 @@ def retrievals_to_disk(mode: str, config: dict, use_target_for_feats: bool = Fal
             split_scenes = [x for i, x in enumerate(dataset.scenes) if i % num_proc == proc]
             mapping = np.load(retrievals_dir / map_name, allow_pickle=True)[()]
             for scene in split_scenes:
-                retrieval = RetrievalInterface.retrieve_nearest_scenes(
-                    mapping, scene, config["K"], tree_path, dataset_train, dataset)
+                try:  # native C++ paste kernel; numpy fallback if g++ missing
+                    retrieval = create_retrieval_from_mapping(
+                        scene, mapping, config["K"], dataset_train, dataset, tree_path,
+                        use_native=True)
+                except (OSError, subprocess_error):
+                    retrieval = create_retrieval_from_mapping(
+                        scene, mapping, config["K"], dataset_train, dataset, tree_path)
                 np.savez_compressed(retrievals_dir / "compose" / f"{scene}.npz", retrieval)
     elif mode == "evaluate":
         from retrieval_fuse_tpu.train.retrieval_trainer import get_metrics_for_retrieval
