@@ -42,13 +42,14 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True):
         batch = trainer._device_batch(collate(items, batch_size))
         step = trainer._train_steps[3]
         rng = jax.random.PRNGKey(0)
-        state, total, _ = step(trainer.state, batch, rng)
+        lr = jnp.asarray(trainer.base_lr, jnp.float32)
+        state, total, _ = step(trainer.state, batch, rng, lr)
         float(total)  # compile + warm
         t0 = time.perf_counter()
         totals = []
         for i in range(iters):
             rng, k = jax.random.split(rng)
-            state, total, _ = step(state, batch, k)
+            state, total, _ = step(state, batch, k, lr)
             totals.append(total)
         float(jnp.stack(totals).sum())  # single forcing fetch
         dt = time.perf_counter() - t0

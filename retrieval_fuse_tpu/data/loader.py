@@ -20,12 +20,14 @@ _STACK_KEYS = ("input", "target", "retrieval", "extent")
 _LIST_KEYS = ("name", "scene")
 
 
-def collate(items: list[dict], batch_size: int) -> dict:
+def collate(items: list[dict], batch_size: int, valid: int | None = None) -> dict:
     """Stack item dicts into one fixed-shape batch, padding by repeating the
-    last item; `valid` is the number of real rows."""
-    valid = len(items)
-    if valid < batch_size:
-        items = items + [items[-1]] * (batch_size - valid)
+    last item; `valid` is the number of real rows (overridable when the
+    caller already included padding rows, e.g. multi-host shard fill)."""
+    if valid is None:
+        valid = len(items)
+    if len(items) < batch_size:
+        items = items + [items[-1]] * (batch_size - len(items))
     batch = {}
     for key in _STACK_KEYS:
         if key in items[0]:
@@ -43,23 +45,37 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = False, drop_last: b
     """Yield fixed-shape batches; optionally shuffled, optionally prefetched.
 
     Multi-host: pass jax.process_index()/process_count() — every host shuffles
-    with the same seed then takes a disjoint strided shard, so the global
-    epoch covers each item exactly once (the analog of torch's
-    DistributedSampler the reference got from Lightning DDP)."""
+    with the same seed then takes a contiguous shard of IDENTICAL length
+    (short shards wrap around to the front of the global order, like torch's
+    DistributedSampler), so every host yields the same number of batches and
+    jitted collectives never deadlock on unequal step counts. Wrapped filler
+    rows are excluded from each batch's `valid` count, so metric/loss code
+    that masks by `valid` never double-counts them. `batch_size` is per-host
+    (the reference's per-GPU DataLoader batch semantics); the global batch a
+    step sees is process_count x batch_size (parallel.mesh.make_global_batch)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    n_real = len(order)
     if process_count > 1:
-        order = order[process_index::process_count]
+        shard_len = -(-len(order) // process_count)  # ceil -> equal everywhere
+        start = process_index * shard_len
+        shard = order[start: start + shard_len]
+        n_real = len(shard)
+        if n_real < shard_len:  # wrap filler from the front of the global order
+            shard = np.concatenate([shard, order[: shard_len - n_real]])
+        order = shard
     if drop_last:
         order = order[: (len(order) // batch_size) * batch_size]
+        n_real = min(n_real, len(order))
     if len(order) == 0:
         return
 
     def produce():
         for start in range(0, len(order), batch_size):
             idxs = order[start: start + batch_size]
-            yield collate([dataset[int(i)] for i in idxs], batch_size)
+            v = max(0, min(len(idxs), n_real - start))
+            yield collate([dataset[int(i)] for i in idxs], batch_size, valid=v)
 
     if prefetch <= 0:
         yield from produce()

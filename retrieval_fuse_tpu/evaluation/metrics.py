@@ -106,9 +106,15 @@ class Chamfer3D(_SumMetric):
     under jit; exact whenever a sample's occupied count fits the capacity.
     """
 
-    def __init__(self, capacity: int = 16384):
+    def __init__(self, capacity: int | None = 16384, auto_grow: bool = True):
+        """capacity=None sizes buffers from the data (always exact). With a
+        fixed capacity, `auto_grow` (default) bumps it to fit — each bump costs
+        one recompile of the chamfer kernel, rounded to 16384-point steps to
+        bound recompiles; auto_grow=False truncates WITH a warning (the round-1
+        behavior truncated silently, biasing dense-scene chamfer)."""
         super().__init__()
-        self.capacity = capacity
+        self.capacity = capacity or 16384
+        self.auto_grow = auto_grow or capacity is None
 
     def update(self, preds, target, n_valid: int | None = None):
         preds = np.asarray(preds).astype(bool)
@@ -116,6 +122,19 @@ class Chamfer3D(_SumMetric):
         preds, target = _maybe_trim(preds, target, n_valid)
         b = preds.shape[0]
         preds = preds.reshape((b,) + preds.shape[-4:-1] if preds.shape[-1] == 1 else (b,) + preds.shape[1:])
+        counts = [max(int(np.count_nonzero(preds[i])), int(np.count_nonzero(target[i])))
+                  for i in range(b)]
+        needed = max(counts) if counts else 0
+        if needed > self.capacity:
+            if self.auto_grow:
+                self.capacity = int(np.ceil(needed / 16384)) * 16384
+            else:
+                import warnings
+                warnings.warn(
+                    f"Chamfer3D: {needed} occupied voxels exceed capacity "
+                    f"{self.capacity}; point sets truncated in raster order — "
+                    f"the chamfer value is approximate (reference uses all "
+                    f"points). Pass capacity=None to auto-size.", stacklevel=2)
         bufs_p, ns_p, bufs_t, ns_t = [], [], [], []
         for i in range(b):
             p3 = np.squeeze(preds[i])

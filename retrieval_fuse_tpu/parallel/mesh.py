@@ -26,6 +26,33 @@ def get_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
+def mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh | None:
+    """Data-parallel mesh over the largest device count that divides the
+    per-host batch (a batch axis sharded over N devices must be divisible by
+    N). Returns None when that count is 1 — callers then run single-device.
+    The reference's Lightning DDP sized the world to the GPUs and left batch
+    divisibility to the user; here the mesh adapts to the batch instead of
+    crashing at the first device_put."""
+    if jax.process_count() > 1:
+        # every process must participate in a global mesh; only divisibility
+        # of the GLOBAL batch (process_count x per-host batch) can be checked
+        total = len(jax.devices())
+        if (batch_size * jax.process_count()) % total != 0:
+            raise ValueError(
+                f"global batch {batch_size}x{jax.process_count()} processes is "
+                f"not divisible by {total} devices; adjust batch_size")
+        return get_mesh(None, axis_name)
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    if n < len(jax.devices()):
+        print(f"[mesh] batch_size {batch_size} not divisible by "
+              f"{len(jax.devices())} devices; using a {n}-device mesh")
+    return get_mesh(n, axis_name)
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Place every array leaf with its leading axis sharded over the mesh.
     Non-array entries (names, counts) pass through untouched."""

@@ -126,7 +126,7 @@ def _create_retrieval_from_mapping_native(scene_name, retrieval_mappings, K,
         for i, p in enumerate(all_patches):
             row = retrieval_mappings[p][k]
             X0, X1, Y0, Y1, Z0, Z1 = row[1:7].astype(np.int32).tolist()
-            extents[i] = dataset.unpad(*SceneHandler.get_extent_from_name(p)[1])
+            extents[i] = dataset_train.unpad(*SceneHandler.get_extent_from_name(p)[1])
             dists[i] = row[7]
             idx = int(row[0])
             if idx >= 0:
@@ -134,7 +134,10 @@ def _create_retrieval_from_mapping_native(scene_name, retrieval_mappings, K,
                     scene_cache[idx] = dataset_train.get_scene_target(dataset_index[idx])
                 crops[i] = scene_cache[idx][X0:X1, Y0:Y1, Z0:Z1] * scale
             else:
-                crops[i] = dataset.target_trunc
+                # the reference scales the trunc-filled zero-patch crop too
+                # (util/retrieval.py:160-163: shape filled with dataset trunc,
+                # then multiplied by the trunc ratio)
+                crops[i] = dataset.target_trunc * scale
         distances = np.full(tuple(scene_size), 100.0, np.float32)
         compose_paste(scene_retrieval[k], distances, crops, extents, dists, dataset.no_overlap)
     return scene_retrieval

@@ -121,10 +121,22 @@ class RefinementTrainer:
         self._train_steps = {ph: self._build_train_step(ph) for ph in range(4)}
         self._val_forward = jax.jit(lambda p, b, r: self.forward_full(p, b, r))
 
-        def val_losses(params, batch, rng):
+        def val_losses(params, batch, rng, n_valid):
+            """Per-batch validation losses with the collate padding masked out:
+            the final partial batch repeats its last item (data/loader.collate),
+            so weights/normals of padded rows are zeroed (dropping them from the
+            weighted L1 and the cosine-valid mask) and their patches are
+            excluded from the contrastive occupancy gate; the L1 mean is
+            rescaled to average over real rows only."""
             batch = self.augment_batch_data(batch)
+            b = batch["target"].shape[0]
+            rowmask = jnp.arange(b) < n_valid
+            rm = rowmask.astype(batch["target"].dtype).reshape(b, 1, 1, 1, 1)
+            batch["weights"] = batch["weights"] * rm
+            batch["normals"] = batch["normals"] * rm
             pred_shape, pred_back, pred_retr, fpred, ftgt, occ = self.forward_full(params, batch, rng)
-            total, l1, normal = self.loss_shape(pred_shape, batch)
+            total, l1, normal = self.loss_shape(pred_shape, batch, n_valid=n_valid)
+            occ = occ & jnp.repeat(rowmask, occ.shape[0] // b)
             contrastive = self.compute_sliced_attn_nt_xent_loss(
                 pred_retr.shape[0] * 8, fpred, ftgt, occ)
             return pred_shape, {"shape": total, "l1": l1, "normal": normal,
@@ -174,7 +186,7 @@ class RefinementTrainer:
         trainable = PHASE_TRAINABLE[phase]
         labels = {k: ("train" if k in trainable else "freeze") for k in SUBNETS}
         return optax.multi_transform(
-            {"train": sched.torch_adam_injectable(weight_decay=0.0, init_lr=self.base_lr),
+            {"train": sched.torch_adam_core(weight_decay=0.0),
              "freeze": optax.set_to_zero()},
             labels)
 
@@ -294,8 +306,13 @@ class RefinementTrainer:
         w = batch["weights"]
         return jnp.where(batch["empty"] & pred_empty, 0.0, w)
 
-    def loss_shape(self, pred_shape, batch):
-        """Weighted L1 on tanh-space TSDF + normal cosine loss (ref :175-183)."""
+    def loss_shape(self, pred_shape, batch, n_valid=None):
+        """Weighted L1 on tanh-space TSDF + normal cosine loss (ref :175-183).
+
+        `n_valid`: when given (validation with a padded final batch), the L1
+        mean is rescaled to average over the real rows only — value-identical
+        to trimming the padding (weights of padded rows are already zeroed by
+        the caller); the normal loss self-masks via zeroed target normals."""
         cfg = self._cfg
         loss_l1 = jnp.zeros(())
         loss_normal = jnp.zeros(())
@@ -303,6 +320,9 @@ class RefinementTrainer:
             pred_empty = self.network_pred_to_df(pred_shape) >= cfg["target_trunc"]
             weights = self.adjust_weights(pred_empty, batch)
             loss_l1 = jnp.mean(jnp.abs(pred_shape - self.normalized_target_to_network_pred(batch["target"])) * weights)
+            if n_valid is not None:
+                b = pred_shape.shape[0]
+                loss_l1 = loss_l1 * b / jnp.maximum(n_valid, 1)
         if cfg["w_norm"] > 0:
             pred_normals = compute_normals(self.network_pred_to_df(pred_shape), cfg["target_trunc"])
             loss_normal = jnp.mean(1 - get_cosine_similarity(pred_normals, batch["normals"]))
@@ -377,13 +397,14 @@ class RefinementTrainer:
             return total.astype(jnp.float32), jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a, aux)
 
-        def step(state: TrainState, batch, rng):
+        def step(state: TrainState, batch, rng, lr):
             batch = self.augment_batch_data(batch)
             (total, aux), grads = jax.value_and_grad(
                 lambda p: loss_with_precision(p, batch, rng), has_aux=True)(state.params)
             if self.mixed_precision:  # grads arrive bf16; optimizer runs f32
                 grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = sched.scale_updates_by_lr(updates, lr)  # lr is a traced scalar
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_opt, state.step + 1), total, aux
         return jax.jit(step, donate_argnums=(0,))
@@ -391,19 +412,22 @@ class RefinementTrainer:
     # ------------------------------------------------------------------ loops
 
     def _device_batch(self, batch, with_retrieval=True):
+        """Host batch -> device batch. On a mesh, make_global_batch assembles
+        per-host batches into one global array sharded over the data axis
+        (multi-process: jax.make_array_from_process_local_data — each host
+        contributes only its own rows; single-process: sharded device_put)."""
         keys = ["input", "target"] + (["retrieval"] if with_retrieval else [])
-        db = {k: jnp.asarray(batch[k]) for k in keys}
+        db = {k: batch[k] for k in keys}
         if self.mesh is not None:
-            from retrieval_fuse_tpu.parallel.mesh import shard_batch
-            db = shard_batch(db, self.mesh)
-        return db
+            from retrieval_fuse_tpu.parallel.mesh import make_global_batch
+            return make_global_batch(db, self.mesh)
+        return {k: jnp.asarray(v) for k, v in db.items()}
 
-    def _set_lr(self, epoch):
-        lr = sched.current_lr(self.base_lr, self.milestones if self.phase == 3 else None,
-                              self.global_step, epoch, warmup_steps=0)
-        inner = self.state.opt_state.inner_states["train"].inner_state
-        inner.hyperparams["learning_rate"] = jnp.asarray(lr)
-        return lr
+    def _current_lr(self, epoch):
+        """MultiStepLR milestones apply in phase 3 only (ref :201-203); the
+        value is passed into the jitted step, never written into opt_state."""
+        return sched.current_lr(self.base_lr, self.milestones if self.phase == 3 else None,
+                                self.global_step, epoch, warmup_steps=0)
 
     def fit(self, max_epochs: int, save_epoch: int = 1, val_check_interval: int = 1,
             max_steps_per_epoch: int | None = None, logger=None):
@@ -419,9 +443,10 @@ class RefinementTrainer:
                                         drop_last=True, seed=epoch,
                                         process_index=jax.process_index(),
                                         process_count=jax.process_count()):
-                lr = self._set_lr(epoch)
+                lr = self._current_lr(epoch)
                 rng, k = jax.random.split(rng)
-                self.state, total, aux = step_fn(self.state, self._device_batch(batch), k)
+                self.state, total, aux = step_fn(self.state, self._device_batch(batch), k,
+                                                 jnp.asarray(lr, jnp.float32))
                 self.global_step += 1
                 n += 1
                 if max_steps_per_epoch and n >= max_steps_per_epoch:
@@ -442,6 +467,16 @@ class RefinementTrainer:
 
     # -------------------------------------------------------------- validation
 
+    def _val_batch_limit(self, n_items: int) -> int | None:
+        """`val_check_percent` -> max validation batches per dataloader (the
+        reference wires this flag into Lightning's limit_val_batches,
+        trainer/train_refinement.py:347)."""
+        pct = float(self.config.get("val_check_percent", 1.0) or 1.0)
+        if pct >= 1.0:
+            return None
+        n_batches = -(-n_items // self.batch_size)
+        return max(1, int(n_batches * pct))
+
     def validate(self, logger=None, max_batches: int | None = None):
         """Rough-metric suite over val + train_eval for fused pred and 1-NN
         retrieval, with a tabulate summary (ref :122-151)."""
@@ -449,18 +484,20 @@ class RefinementTrainer:
         metric_sets = {}
         rng = jax.random.PRNGKey(11)
         for split_key, ds in [("val", self.val_dataset), ("train", self.dataset("train_eval"))]:
+            ds_limit = max_batches if max_batches is not None else self._val_batch_limit(len(ds))
             metrics_fuse = [IoU(), Chamfer3D(), Precision(), Recall()]
             metrics_nn1 = [IoU(), Chamfer3D(), Precision(), Recall()]
             loss_sums = {}
             n_loss = 0
             for bi, batch in enumerate(batch_iterator(ds, self.batch_size, shuffle=False)):
-                if max_batches and bi >= max_batches:
+                if ds_limit and bi >= ds_limit:
                     break
                 db = self._device_batch(batch)
                 rng, k = jax.random.split(rng)
                 # per-batch validation losses, like the reference's
                 # get_evaluation_for_batch (trainer/train_refinement.py:223-229)
-                pred_shape, losses = self._val_losses(self.state.params, db, k)
+                pred_shape, losses = self._val_losses(self.state.params, db, k,
+                                                      jnp.asarray(batch["valid"]))
                 for lk, lv in losses.items():
                     loss_sums[lk] = loss_sums.get(lk, 0.0) + float(lv)
                 n_loss += 1
@@ -560,6 +597,9 @@ def train_refinement_phases(config: dict, mesh=None, max_steps_per_epoch=None,
 
     trainer = RefinementTrainer(config, mesh=mesh, enable_vis=enable_vis)
     logger = MetricsLogger(config["experiment"])
+    if config.get("sanity_steps", 0) and config["sanity_steps"] > 0:
+        # Lightning num_sanity_val_steps parity: N val batches before fit
+        trainer.validate(logger, max_batches=int(config["sanity_steps"]))
     val_every = max(1, int(config.get("val_check_interval", 1)))
     prev_epochs = 0 if start_phase == 0 else max_epochs[start_phase - 1]
     for phase in range(start_phase, 4):
@@ -579,13 +619,13 @@ def main(argv=None):
     (ref trainer/train_refinement.py:321-366): phase-chained curriculum,
     resume support, per-subnet warm start. DDP becomes the local device mesh."""
     from retrieval_fuse_tpu.config.arguments import parse_arguments
-    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    from retrieval_fuse_tpu.parallel.mesh import mesh_for_batch
     from retrieval_fuse_tpu.utils.logger import FilesystemLogger
 
     config = parse_arguments(argv)
     np.random.seed(config["seed"])
     FilesystemLogger(config)
-    mesh = get_mesh() if len(jax.devices()) > 1 else None
+    mesh = mesh_for_batch(config["batch_size"])
     if config.get("resume"):
         trainer = RefinementTrainer(config, mesh=mesh)
         trainer.load(config["resume"])
@@ -595,6 +635,8 @@ def main(argv=None):
             trainer.validate()
             trainer.run_visualization("val")
             return trainer
+        if config.get("sanity_steps", 0) and config["sanity_steps"] > 0:
+            trainer.validate(max_batches=int(config["sanity_steps"]))
         trainer.fit(max_epochs=config["max_epoch"], save_epoch=config["save_epoch"],
                     val_check_interval=max(1, int(config.get("val_check_interval", 1))))
         return trainer

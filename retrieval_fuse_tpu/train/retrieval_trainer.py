@@ -82,7 +82,7 @@ class RetrievalTrainer:
         batch_stats = {k: v.get("batch_stats", {}) for k, v in
                        {"fenc_input": p_in, "fenc_target": p_tgt}.items()}
         self.has_batch_stats = any(batch_stats.values())
-        self.tx = sched.torch_adam_injectable(weight_decay=5e-5, init_lr=self.base_lr)
+        self.tx = sched.torch_adam_core(weight_decay=5e-5)
         self.state = TrainState(params=params, opt_state=self.tx.init(params), step=0,
                                 batch_stats=batch_stats)
         self._loss_cfg = dict(
@@ -90,7 +90,10 @@ class RetrievalTrainer:
             w_contrastive=self.w_contrastive,
             target_mean=config["dataset_train"]["target_mean"],
             target_std=config["dataset_train"]["target_std"],
-            occ_threshold=0.75 * self.scene_handlers["train"].target_voxel_size,
+            # raw config value, NOT the fp16 round-trip: the reference's IoU
+            # gate reads hparams['dataset_train']['voxel_size_target'] directly
+            # (train_retrieval.py:85)
+            occ_threshold=0.75 * config["dataset_train"]["voxel_size_target"],
             input_noise_std=self.input_noise * config["dataset_train"]["voxel_size_target"],
             code_noise_std=self.code_noise,
         )
@@ -140,7 +143,11 @@ class RetrievalTrainer:
         f_in, f_tgt, target, new_stats = self._embed(params, batch, train, rng, batch_stats)
         iou_matrix = None
         if cfg["iou_scaling"]:
-            denorm = batch["target"] * cfg["target_std"] + cfg["target_mean"]
+            # parity: the reference noises batch['target'] in place BEFORE
+            # get_iou_matrix (train_retrieval.py:75,85), so at train time the
+            # IoU temperatures are computed on the NOISED target — use the
+            # noised target returned by _embed, not the clean batch copy.
+            denorm = target * cfg["target_std"] + cfg["target_mean"]
             occ = denorm <= cfg["occ_threshold"]
             m = get_iou_matrix(occ[..., 0])
             iou_matrix = jnp.tile(m, (2, 2))
@@ -149,7 +156,7 @@ class RetrievalTrainer:
         return total, (loss_contrastive, new_stats)
 
     def _build_train_step(self, train: bool):
-        def step(state: TrainState, batch, rng):
+        def step(state: TrainState, batch, rng, lr):
             if not train:
                 total, (contrastive, _) = self._loss_fn(
                     state.params, batch, False, rng, state.batch_stats)
@@ -157,6 +164,7 @@ class RetrievalTrainer:
             (total, (contrastive, new_stats)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(state.params, batch, True, rng, state.batch_stats)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            updates = sched.scale_updates_by_lr(updates, lr)  # lr is a traced scalar
             import optax
             new_params = optax.apply_updates(state.params, updates)
             stats = new_stats if self.has_batch_stats else state.batch_stats
@@ -168,11 +176,16 @@ class RetrievalTrainer:
     # ------------------------------------------------------------------ loops
 
     def _device_batch(self, batch):
-        db = {"input": jnp.asarray(batch["input"]), "target": jnp.asarray(batch["target"])}
+        """Host batch -> device batch. On a mesh, make_global_batch assembles
+        the per-host batches into one global array sharded over the data axis
+        (multi-process: jax.make_array_from_process_local_data — each host
+        contributes ONLY its own rows, so the global batch is process_count x
+        batch_size; single-process falls back to a plain sharded device_put)."""
+        db = {"input": batch["input"], "target": batch["target"]}
         if self.mesh is not None:
-            from retrieval_fuse_tpu.parallel.mesh import shard_batch
-            db = shard_batch(db, self.mesh)
-        return db
+            from retrieval_fuse_tpu.parallel.mesh import make_global_batch
+            return make_global_batch(db, self.mesh)
+        return {k: jnp.asarray(v) for k, v in db.items()}
 
     def fit(self, max_epochs: int, val_check_interval: int = 1, save_epoch: int = 1,
             run_retrieval_validation: bool = True, max_steps_per_epoch: int | None = None):
@@ -181,22 +194,24 @@ class RetrievalTrainer:
         rng = jax.random.PRNGKey(self.config.get("seed", 0) or 0)
         for epoch in range(max_epochs):
             n = 0
+            total = contrastive = None
+            lr = self.current_learning_rate
             for batch in batch_iterator(self.train_dataset, self.batch_size, shuffle=True,
                                         drop_last=True, seed=epoch,
                                         process_index=jax.process_index(),
                                         process_count=jax.process_count()):
                 lr = sched.current_lr(self.base_lr, self.milestones, self.global_step, epoch)
                 self.current_learning_rate = lr
-                self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
                 rng, k = jax.random.split(rng)
                 self.state, total, contrastive = self._train_step(
-                    self.state, self._device_batch(batch), k)
+                    self.state, self._device_batch(batch), k, jnp.asarray(lr, jnp.float32))
                 self.global_step += 1
                 n += 1
                 if max_steps_per_epoch and n >= max_steps_per_epoch:
                     break
-            logger.log({"train/total_loss": float(total), "train/contrastive_loss": float(contrastive),
-                        "learning_rate": lr, "epoch": epoch}, step=self.global_step)
+            if total is not None:  # an empty per-host shard yields no batches
+                logger.log({"train/total_loss": float(total), "train/contrastive_loss": float(contrastive),
+                            "learning_rate": lr, "epoch": epoch}, step=self.global_step)
             if (epoch + 1) % max(1, int(val_check_interval)) == 0:
                 self.validate(epoch, logger, run_retrieval_validation)
             if (epoch + 1) % save_epoch == 0:
@@ -204,19 +219,36 @@ class RetrievalTrainer:
         logger.close()
         return self.state
 
-    def validate(self, epoch: int, logger=None, run_retrieval_validation: bool = True):
+    def validate(self, epoch: int, logger=None, run_retrieval_validation: bool = True,
+                 max_batches: int | None = None):
         # plain val loss
         ds_val = self.dataset("val")
         rng = jax.random.PRNGKey(7)
         totals = []
-        for batch in batch_iterator(ds_val, self.batch_size, shuffle=False, drop_last=False):
-            _, total, _ = self._eval_step(self.state, self._device_batch(batch), rng)
+        if max_batches is None:
+            max_batches = self._val_batch_limit(len(ds_val))
+        for bi, batch in enumerate(batch_iterator(ds_val, self.batch_size, shuffle=False,
+                                                  drop_last=False)):
+            if max_batches is not None and bi >= max_batches:
+                break
+            _, total, _ = self._eval_step(self.state, self._device_batch(batch), rng,
+                                          jnp.zeros((), jnp.float32))
             totals.append(float(total))
         if logger:
             logger.log({"val/total_loss": float(np.mean(totals)), "epoch": epoch}, step=self.global_step)
         if run_retrieval_validation:
             self.retrieval_validation(epoch, logger)
         return float(np.mean(totals)) if totals else float("nan")
+
+    def _val_batch_limit(self, n_items: int) -> int | None:
+        """`val_check_percent` -> max validation batches (the reference wires
+        this flag into Lightning's limit_val_batches,
+        trainer/train_retrieval.py:163 / train_refinement.py:347)."""
+        pct = float(self.config.get("val_check_percent", 1.0) or 1.0)
+        if pct >= 1.0:
+            return None
+        n_batches = -(-n_items // self.batch_size)
+        return max(1, int(n_batches * pct))
 
     # ------------------------------------------------ full retrieval pipeline
 
@@ -316,21 +348,26 @@ def main(argv=None):
     (ref trainer/train_retrieval.py:148-166). Retrieval training was pinned
     to one GPU there; here the batch axis shards over every local device."""
     from retrieval_fuse_tpu.config.arguments import parse_arguments
-    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    from retrieval_fuse_tpu.parallel.mesh import mesh_for_batch
     from retrieval_fuse_tpu.utils.logger import FilesystemLogger
 
     config = parse_arguments(argv)
     config["no_retrievals"] = True
     np.random.seed(config["seed"])
     FilesystemLogger(config)
-    mesh = get_mesh()
-    trainer = RetrievalTrainer(config, mesh=mesh if len(jax.devices()) > 1 else None)
+    trainer = RetrievalTrainer(
+        config, mesh=mesh_for_batch(config["retrieval_training"]["batch_size"]))
     if config.get("resume"):
         trainer.load(config["resume"])
     if config.get("sanity_steps"):
-        trainer.validate(0, run_retrieval_validation=config["sanity_steps"] == -1)
+        # parity with Lightning num_sanity_val_steps: N>0 runs N val batches
+        # pre-fit; -1 runs the FULL validation (incl. the retrieval pipeline)
+        # as an inference-only smoke (README.md:190)
         if config["sanity_steps"] == -1:
+            trainer.validate(0, run_retrieval_validation=True)
             return trainer
+        trainer.validate(0, run_retrieval_validation=False,
+                         max_batches=int(config["sanity_steps"]))
     trainer.fit(max_epochs=config["max_epoch"],
                 val_check_interval=max(1, int(config.get("val_check_interval", 1))),
                 save_epoch=config["save_epoch"])

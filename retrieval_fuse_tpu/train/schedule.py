@@ -38,14 +38,23 @@ def torch_adam(learning_rate, weight_decay: float = 0.0,
     return optax.chain(*parts)
 
 
-def torch_adam_injectable(weight_decay: float = 0.0, init_lr: float = 1e-4) -> optax.GradientTransformation:
-    """torch_adam with a host-settable learning rate (for warm-up/multistep
-    driven from the training loop, like the reference's optimizer_step)."""
-    return optax.inject_hyperparams(
-        lambda learning_rate: torch_adam(learning_rate, weight_decay))(learning_rate=init_lr)
+def torch_adam_core(weight_decay: float = 0.0,
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam direction WITHOUT the learning rate: the train step
+    multiplies the returned updates by -lr, with lr passed as a traced scalar
+    argument. This replaces the round-1 inject_hyperparams approach, whose
+    host-side `opt_state.hyperparams[...] = lr` mutation aliased a buffer that
+    was then donated to the jitted step — warm-up/multistep values are
+    unchanged (the reference drives LR from the loop the same way,
+    trainer/train_retrieval.py:36-52)."""
+    parts = []
+    if weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    return optax.chain(*parts)
 
 
-def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning rate in-place-ish (returns new state)."""
-    opt_state.hyperparams["learning_rate"] = lr
-    return opt_state
+def scale_updates_by_lr(updates, lr):
+    """Apply -lr to torch_adam_core updates (inside the jitted step)."""
+    import jax
+    return jax.tree_util.tree_map(lambda u: u * (-lr), updates)

@@ -53,7 +53,7 @@ def test_phase0_step_updates_only_unet_and_decoder(trainer):
     before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
     batch = _example_batch(trainer)
     trainer.state, total, aux = trainer._train_steps[0](
-        trainer.state, batch, jax.random.PRNGKey(1))
+        trainer.state, batch, jax.random.PRNGKey(1), jnp.asarray(trainer.base_lr))
     after = trainer.state.params
     assert np.isfinite(float(total))
 
@@ -73,7 +73,7 @@ def test_phase3_step_updates_everything(trainer):
     before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
     batch = _example_batch(trainer)
     trainer.state, total, aux = trainer._train_steps[3](
-        trainer.state, batch, jax.random.PRNGKey(2))
+        trainer.state, batch, jax.random.PRNGKey(2), jnp.asarray(trainer.base_lr))
     assert np.isfinite(float(total))
     for key in ("fuse", "back", "retr", "contrastive"):
         assert np.isfinite(float(aux[key]))
@@ -166,7 +166,7 @@ def test_mixed_precision_and_remat_step(synth_superres_root, tmp_path, monkeypat
     tr.set_phase(3)
     from retrieval_fuse_tpu.data.loader import collate
     batch = tr._device_batch(collate([tr.train_dataset[0]], 1))
-    state, total, aux = tr._train_steps[3](tr.state, batch, jax.random.PRNGKey(0))
+    state, total, aux = tr._train_steps[3](tr.state, batch, jax.random.PRNGKey(0), jnp.asarray(tr.base_lr))
     assert np.isfinite(float(total))
     # params stay f32 (optimizer precision)
     leaf = jax.tree_util.tree_leaves(state.params)[0]

@@ -40,3 +40,31 @@ def test_torch_adam_matches_torch():
         updates, state = tx.update(jnp.asarray(g), state, params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params), wt.detach().numpy(), atol=1e-6)
+
+
+def test_torch_adam_core_with_step_lr_matches_torch():
+    """The step-argument LR path (torch_adam_core + scale_updates_by_lr inside
+    the step) must equal torch Adam driven by a per-step LR schedule — the
+    warm-up/multistep semantics with NO opt_state mutation."""
+    import torch
+    from retrieval_fuse_tpu.train.schedule import torch_adam_core, scale_updates_by_lr
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.1, 0.2, -0.3], np.float32)
+    lrs = [1e-2, 5e-3, 2.5e-3, 2.5e-3]
+
+    wt = torch.tensor(w0.copy(), requires_grad=True)
+    opt = torch.optim.Adam([wt], lr=lrs[0], weight_decay=5e-5)
+    for lr in lrs:
+        for group in opt.param_groups:
+            group["lr"] = lr
+        wt.grad = torch.tensor(g.copy())
+        opt.step()
+
+    tx = torch_adam_core(weight_decay=5e-5)
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for lr in lrs:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = optax.apply_updates(params, scale_updates_by_lr(updates, jnp.asarray(lr)))
+    np.testing.assert_allclose(np.asarray(params), wt.detach().numpy(), atol=1e-6)
