@@ -59,6 +59,16 @@ def import_conv_encoder(sd: dict, n_convs: int) -> dict:
     return params
 
 
+def import_conv_encoder_stats(sd: dict) -> dict:
+    """BatchNorm running stats of the PatchNorm* encoder variants -> the flax
+    `batch_stats` collection ({bn{i}: {mean, var}}); empty for non-BN encoders."""
+    bn_keys = sorted({int(k.split(".")[1]) for k in sd
+                      if k.startswith("layers.") and k.endswith(".running_mean")})
+    return {f"bn{i}": {"mean": np.asarray(sd[f"layers.{li}.running_mean"]),
+                       "var": np.asarray(sd[f"layers.{li}.running_var"])}
+            for i, li in enumerate(bn_keys)}
+
+
 def import_mlp_encoder(sd: dict) -> dict:
     """Reference MLP patch encoders: `layers.{even}` Linear chain; the last
     Linear maps to our `final_layer`."""
@@ -164,11 +174,23 @@ def import_retrieval_backbone(sd: dict) -> dict:
 
 # ---------------------------------------------------------------- attention
 
-def _import_attention_feature_encoder(sd: dict) -> dict:
+def _import_attention_feature_encoder(sd: dict, patch_extent: int) -> dict:
+    """Reference AttentionFeatureEncoder (model/attention.py:29-46).
+
+    The reference flattens a (C, e, e, e) channels-FIRST patch into the first
+    Linear; our modules flatten (e, e, e, C) channels-last — so the first
+    kernel's input rows are permuted from c·e³+s to s·C+c ordering (pure
+    relabeling; outputs are bit-identical)."""
     lin = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
     params = {}
     for i, li in enumerate(lin[:-1]):
-        params[f"fc{i}"] = {"kernel": linear_w(sd[f"encoder.{li}.weight"]),
+        kernel = linear_w(sd[f"encoder.{li}.weight"])
+        if i == 0:
+            n_in, width = kernel.shape
+            e3 = patch_extent ** 3
+            c = n_in // e3
+            kernel = kernel.reshape(c, e3, width).transpose(1, 0, 2).reshape(n_in, width)
+        params[f"fc{i}"] = {"kernel": kernel,
                             "bias": np.asarray(sd[f"encoder.{li}.bias"])}
     last = lin[-1]
     params["out"] = {"kernel": linear_w(sd[f"encoder.{last}.weight"]),
@@ -176,10 +198,10 @@ def _import_attention_feature_encoder(sd: dict) -> dict:
     return params
 
 
-def import_attention_block(sd: dict) -> dict:
+def import_attention_block(sd: dict, patch_extent: int = 2) -> dict:
     params = {
-        "theta": _import_attention_feature_encoder(_strip(sd, "theta")),
-        "phi": _import_attention_feature_encoder(_strip(sd, "phi")),
+        "theta": _import_attention_feature_encoder(_strip(sd, "theta"), patch_extent),
+        "phi": _import_attention_feature_encoder(_strip(sd, "phi"), patch_extent),
         "sig_scale": np.asarray(sd["sig_scale"]),
         "sig_shift": np.asarray(sd["sig_shift"]),
     }
@@ -189,16 +211,19 @@ def import_attention_block(sd: dict) -> dict:
     return params
 
 
-def import_patched_attention_block(sd: dict) -> dict:
+def import_patched_attention_block(sd: dict, patch_extent: int = 2) -> dict:
     return {"attention_blocks_layer": import_attention_block(
-        _strip(sd, "attention_blocks_layer"))}
+        _strip(sd, "attention_blocks_layer"), patch_extent)}
 
 
 # ------------------------------------------------------------ full checkpoint
 
 def import_refinement_checkpoint(state_dict: dict, task: str = "superresolution",
-                                 input_chunk_size: int = 8) -> dict:
-    """Full reference refinement Lightning state_dict -> our 4-subnet tree."""
+                                 input_chunk_size: int = 8,
+                                 attn_patch_extent: int = 4) -> dict:
+    """Full reference refinement Lightning state_dict -> our 4-subnet tree.
+    `attn_patch_extent` is the config's attn_patch_extent (4 in every shipped
+    config); the attention blocks operate on extent attn_patch_extent//2."""
     if task == "superresolution":
         backbone = (import_superres08_backbone if input_chunk_size == 8
                     else import_superres16_backbone)(_strip(state_dict, "unet_backbone"))
@@ -209,7 +234,7 @@ def import_refinement_checkpoint(state_dict: dict, task: str = "superresolution"
         "decoder": import_final_decoder(_strip(state_dict, "decoder")),
         "retrieval_backbone": import_retrieval_backbone(_strip(state_dict, "retrieval_backbone")),
         "patched_attention_block": import_patched_attention_block(
-            _strip(state_dict, "patched_attention_block")),
+            _strip(state_dict, "patched_attention_block"), attn_patch_extent // 2),
     }
 
 

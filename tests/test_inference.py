@@ -73,6 +73,25 @@ def test_feature_bank_equals_reencode(setup):
     np.testing.assert_allclose(out_fast, out_slow, atol=2e-5)
 
 
+def test_bf16_engine_accuracy_within_budget(setup):
+    """bf16 fidelity audit (BASELINE.md budget): the bf16 serving engine's TSDF
+    output vs the f32 engine on identical weights/inputs/database. The ≤1e-3
+    MAE budget is in df units (trunc ≈ 0.0625 here); bf16's ~8-bit mantissa on
+    the tanh output maps to ~1.2e-4 df resolution, so the budget holds with
+    margin — this test pins it."""
+    params, db, bank, x = setup
+    eng32 = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True)
+    eng16 = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.bfloat16,
+                                 use_feature_bank=True)
+    o32 = np.asarray(eng32(x))
+    o16 = np.asarray(eng16(x))
+    mae = float(np.abs(o32 - o16).mean())
+    mx = float(np.abs(o32 - o16).max())
+    print(f"bf16-vs-f32: MAE={mae:.2e} max={mx:.2e} (budget 1e-3)")
+    assert mae < 1e-3, f"bf16 MAE {mae} blows the 1e-3 TSDF budget"
+
+
 def test_build_patch_bank_tiling(synth_superres_config):
     from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset
     cfg = synth_superres_config
