@@ -100,12 +100,32 @@ class Mesh:
         pts = tri[:, 0] * (1 - r1) + tri[:, 1] * (r1 * (1 - r2)) + tri[:, 2] * (r1 * r2)
         return (pts.astype(np.float32), face_idx) if return_index else pts.astype(np.float32)
 
-    def voxelize_surface(self, pitch: float, samples_per_area: float = 12.0) -> set:
-        """Set of voxel coordinates intersected by the surface (approximated
-        by dense area-proportional surface sampling; converges to trimesh's
-        `voxelized().points` as density grows). Voxel centers are
-        floor(p / pitch) cells, matching trimesh's grid convention up to the
-        common origin."""
+    def voxelize_surface(self, pitch: float, samples_per_area: float = 12.0,
+                         exact: bool = True) -> set:
+        """Set of voxel coordinates intersected by the surface. Cells are
+        floor(p / pitch), matching trimesh's grid convention up to the common
+        origin.
+
+        `exact` (default) runs the native separating-axis triangle/box
+        voxelizer (native/voxelize.cpp) — EVERY intersected cell is marked,
+        like trimesh's voxelized() in the reference pipeline
+        (util/mesh_metrics.py:13-21). The sampling fallback (exact=False, or
+        no C++ toolchain) misses grazing cells: measured ~12% of a sphere's
+        shell cells at pitch 1.1875 with the default density
+        (tests/test_mesh_deviation.py)."""
+        if len(self.faces) == 0:
+            return set()
+        if exact:
+            import subprocess
+            try:
+                from retrieval_fuse_tpu.native import voxelize_mesh
+                lo = np.floor(self.vertices.min(0) / pitch).astype(np.int64)
+                hi = np.floor(self.vertices.max(0) / pitch).astype(np.int64)
+                dims = tuple(int(d) for d in (hi - lo + 1))
+                grid = voxelize_mesh(self.vertices, self.faces, pitch, lo, dims)
+                return set(map(tuple, (np.argwhere(grid) + lo)))
+            except (OSError, subprocess.CalledProcessError):
+                pass  # no C++ toolchain: sampling fallback below
         areas, _ = self.face_areas_normals()
         total_area = areas.sum()
         if total_area <= 0:

@@ -18,7 +18,7 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent
 _LIB_PATH = _NATIVE_DIR / "libretrievalfuse_native.so"
-_SOURCES = ["marching_cubes.cpp", "compose.cpp"]
+_SOURCES = ["marching_cubes.cpp", "compose.cpp", "voxelize.cpp"]
 
 _lib = None
 
@@ -46,6 +46,13 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.c_int),
         ]
         lib.mc_free.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        lib.voxelize_mesh.restype = None
+        lib.voxelize_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.compose_paste.restype = None
         lib.compose_paste.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -93,6 +100,27 @@ def export_obj(verts: np.ndarray, tris: np.ndarray, path) -> None:
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for t in tris:
             f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def voxelize_mesh(verts: np.ndarray, tris: np.ndarray, pitch: float,
+                  origin_cell: np.ndarray, dims: tuple[int, int, int]) -> np.ndarray:
+    """Exact shell voxelization: (nx, ny, nz) uint8 grid with 1 in every cell
+    whose box intersects a triangle. `origin_cell` is the integer cell index
+    of the grid's (0,0,0) cell; cell c of the returned grid is world cell
+    origin_cell + c (i.e. world box [(origin_cell+c)·pitch, +pitch))."""
+    verts = np.ascontiguousarray(
+        np.asarray(verts, np.float64) / pitch - np.asarray(origin_cell, np.float64),
+        np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    grid = np.zeros(dims, np.uint8)
+    if len(tris):
+        lib = get_lib()
+        lib.voxelize_mesh(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), verts.shape[0],
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), tris.shape[0],
+            grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dims[0], dims[1], dims[2])
+    return grid
 
 
 def compose_paste(volume: np.ndarray, distances: np.ndarray, crops: np.ndarray,

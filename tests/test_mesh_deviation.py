@@ -1,0 +1,179 @@
+"""Quantified error bounds for the two documented mesh-pipeline deviations
+(VERDICT round 1, item 8):
+
+1. marching TETRAHEDRA (native/marching_cubes.cpp) instead of the reference's
+   classic MC tables — same isosurface, different tessellation; bounded here
+   by vertex distance to analytic surfaces;
+2. sampling-based shell voxelization (evaluation/mesh.Mesh.voxelize_surface)
+   instead of trimesh's exact voxelizer — bounded here against the EXACT
+   cell set for an analytic sphere (cell intersects the sphere iff
+   min-corner-dist <= r <= max-corner-dist).
+
+The bounds asserted here are recorded in PARITY.md; if either approximation
+drifts past them, metric parity with the reference pipeline is at risk and
+this file fails.
+"""
+
+import numpy as np
+import pytest
+
+from retrieval_fuse_tpu.evaluation.mesh import Mesh
+from retrieval_fuse_tpu.evaluation.mesh_metrics import compute_iou, compute_metrics
+from retrieval_fuse_tpu.native import marching_cubes, export_obj
+
+CENTER = np.array([32.0, 32.0, 32.0])
+R = 20.0
+
+
+def sphere_sdf_grid(n=64, signed=True):
+    idx = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"), -1).astype(np.float32)
+    d = np.linalg.norm(idx - CENTER, axis=-1) - R
+    return d if signed else np.abs(d)
+
+
+def box_sdf_grid(n=64, half=np.array([14.0, 10.0, 17.0])):
+    idx = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"), -1).astype(np.float32)
+    q = np.abs(idx - CENTER) - half
+    outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0)
+    return (outside + inside).astype(np.float32)
+
+
+def uv_sphere_mesh(center=CENTER, r=R, n_theta=96, n_phi=192, phase=0.0):
+    th = np.linspace(0, np.pi, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False) + phase
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    verts = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P), np.cos(T)], -1)
+    verts = (verts.reshape(-1, 3) * r + center)
+    faces = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return Mesh(verts, np.array(faces, np.int64))
+
+
+def test_marching_tetrahedra_vertex_accuracy_sphere():
+    """Every extracted vertex lies on the analytic sphere to within 0.05
+    voxels (linear edge interpolation error ~h²/(8r) ≈ 0.006 here)."""
+    verts, tris = marching_cubes(sphere_sdf_grid(signed=True), 0.0)
+    assert len(verts) > 1000 and len(tris) > 1000
+    err = np.abs(np.linalg.norm(verts - CENTER, axis=1) - R)
+    assert err.max() < 0.05, f"max vertex error {err.max():.4f}"
+    assert err.mean() < 0.01, f"mean vertex error {err.mean():.4f}"
+
+
+def test_marching_tetrahedra_unsigned_df_double_shell():
+    """The pipeline extracts unsigned truncated df at a positive level
+    (0.75·voxel, like the reference's visualize_sdf_as_mesh); the result is
+    the +-level double shell. Edges that straddle the df CREASE (the surface
+    itself) interpolate poorly in ANY linear marching method — the
+    reference's classic-MC tables linearly interpolate the same unsigned
+    values, so this error is shared, not a tetrahedra-specific deviation.
+    Bound: bulk vertices accurate, crease-adjacent tail bounded."""
+    level = 0.75
+    df = np.minimum(sphere_sdf_grid(signed=False), 3.0)
+    verts, _ = marching_cubes(df, level)
+    rad = np.linalg.norm(verts - CENTER, axis=1)
+    err = np.minimum(np.abs(rad - (R - level)), np.abs(rad - (R + level)))
+    print(f"double shell: mean={err.mean():.4f} p99={np.percentile(err, 99):.4f} "
+          f"max={err.max():.4f}")
+    assert err.mean() < 0.05, f"mean shell error {err.mean():.4f}"
+    assert np.percentile(err, 99) < 0.55  # measured 0.46: crease-edge tail
+    assert err.max() < 1.0
+
+
+def test_marching_tetrahedra_vertex_accuracy_box():
+    """Box SDF: vertices within 0.12 voxels of the analytic box surface
+    (edges/corners of the box get the worst of the linear interpolation)."""
+    half = np.array([14.0, 10.0, 17.0])
+    verts, _ = marching_cubes(box_sdf_grid(half=half), 0.0)
+    q = np.abs(verts - CENTER) - half
+    dist = np.linalg.norm(np.maximum(q, 0), axis=1) + np.minimum(np.max(q, axis=1), 0)
+    assert np.abs(dist).max() < 0.12, f"max box surface error {np.abs(dist).max():.4f}"
+
+
+def exact_sphere_shell_cells(pitch, center=CENTER, r=R, n=64):
+    m = int(np.ceil(n / pitch)) + 1
+    ii = np.arange(m)
+    cells = np.stack(np.meshgrid(ii, ii, ii, indexing="ij"), -1).reshape(-1, 3)
+    lo = cells * pitch
+    hi = lo + pitch
+    closest = np.clip(center, lo, hi)
+    dmin = np.linalg.norm(closest - center, axis=1)
+    far = np.maximum(np.abs(lo - center), np.abs(hi - center))
+    dmax = np.linalg.norm(far, axis=1)
+    sel = (dmin <= r) & (r <= dmax)
+    return set(map(tuple, cells[sel]))
+
+
+def test_native_voxelization_matches_exact_sphere_shell():
+    """The native SAT voxelizer's cell set vs the analytically EXACT shell
+    cell set of a sphere at the reference's evaluation pitch (1.1875). The
+    only admissible disagreement is polyhedral sag of the UV tessellation
+    (~4e-4 voxels at this density), so Jaccard must be ~1."""
+    pitch = 1.1875
+    mesh = uv_sphere_mesh(n_theta=256, n_phi=512)
+    got = mesh.voxelize_surface(pitch)
+    exact = exact_sphere_shell_cells(pitch)
+    jac = len(got & exact) / len(got | exact)
+    print(f"native voxelize: jaccard={jac:.4f} |got|={len(got)} |exact|={len(exact)}")
+    assert jac >= 0.995, f"jaccard {jac:.4f}"
+
+
+@pytest.mark.parametrize("density,min_jaccard", [(12.0, 0.85), (50.0, 0.92)],
+                         ids=["default-density", "dense"])
+def test_sampling_fallback_voxelization_bounds(density, min_jaccard):
+    """Regression floor for the SAMPLING fallback (used when no C++
+    toolchain): it misses grazing cells — measured jaccard 0.876 at the
+    default density, 0.935 dense — which is why the exact native voxelizer
+    is the default."""
+    pitch = 1.1875
+    mesh = uv_sphere_mesh()
+    approx = mesh.voxelize_surface(pitch, samples_per_area=density, exact=False)
+    exact = exact_sphere_shell_cells(pitch)
+    jac = len(approx & exact) / len(approx | exact)
+    spurious = len(approx - exact) / max(len(approx), 1)
+    print(f"sampled voxelize density={density}: jaccard={jac:.4f}")
+    assert jac >= min_jaccard, f"jaccard {jac:.4f} < {min_jaccard}"
+    # sampled points always land in true shell cells: no spurious cells
+    assert spurious < 0.005
+
+
+def test_mesh_iou_noise_floor_and_discrimination():
+    """compute_iou on two tessellations of the SAME sphere stays near 1 (the
+    sampling noise floor of the pipeline), while spheres 3 voxels apart score
+    near 0 — the metric discriminates at well below the reference's pitch."""
+    a = uv_sphere_mesh(phase=0.0)
+    b = uv_sphere_mesh(n_theta=80, n_phi=160, phase=0.013)
+    same = compute_iou(a, b)
+    far = compute_iou(a, uv_sphere_mesh(r=R + 3.0, n_theta=80, n_phi=160))
+    print(f"IoU same-sphere={same:.4f}, r+3 sphere={far:.4f}")
+    assert same > 0.97  # exact voxelizer: tessellation-noise floor only
+    assert far < 0.25
+
+
+def test_end_to_end_mc_mesh_metric_parity(tmp_path):
+    """Full offline-metric path on analytic geometry: marching-tetrahedra
+    extraction of the sphere SDF vs the analytic sphere mesh through
+    compute_metrics — IoU, chamfer-L1, normal correctness and F-scores must
+    land at their analytic ideals within tight bounds."""
+    verts, tris = marching_cubes(sphere_sdf_grid(signed=True), 0.0)
+    export_obj(verts, tris, tmp_path / "pred.obj")
+    uv_sphere_mesh().export(tmp_path / "gt.obj")
+    iou, chamfer_l1, normal_corr, f9, f14 = compute_metrics(
+        tmp_path / "pred.obj", tmp_path / "gt.obj")
+    print(f"end-to-end: iou={iou:.4f} chamfer={chamfer_l1:.4f} "
+          f"normals={normal_corr:.4f} F9={f9:.4f} F14={f14:.4f}")
+    assert iou > 0.95   # exact voxelization of two tessellations of one sphere
+    # chamfer-L1 here is the 100K-point p2p sampling floor (~mean NN spacing
+    # of 100K points on a 5027-unit² surface ≈ 0.11 voxels) — the reference's
+    # compute_metrics has the identical floor; vertex accuracy itself is
+    # <0.05 (test above)
+    assert chamfer_l1 < 0.13
+    assert normal_corr > 0.97
+    assert f9 > 0.999 and f14 > 0.999
