@@ -35,7 +35,8 @@ def _enable_compile_cache():
         pass
 
 
-def build_flagship(compute_dtype=None):
+def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,
+                   use_fused_decoder: bool = False):
     import jax
     import jax.numpy as jnp
     from retrieval_fuse_tpu.inference import RetrieveRefineEngine
@@ -99,7 +100,9 @@ def build_flagship(compute_dtype=None):
     # attention path is value-independent in cost
     feature_bank = jax.random.normal(k3, (N, 8, 8, 8, nf), compute_dtype)
     engine = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=compute_dtype,
-                                  feature_bank=feature_bank)
+                                  feature_bank=feature_bank,
+                                  use_pallas_attention=use_pallas_attention,
+                                  use_fused_decoder=use_fused_decoder)
     return engine
 
 
@@ -113,8 +116,11 @@ def measure(engine, batch_size: int, iters: int = 20) -> float:
     import jax
     import jax.numpy as jnp
 
-    def step(x):
-        out = engine._pipeline(engine.params, engine.database, engine.serving_bank, x)
+    def step(params, database, bank, x):
+        # params/database/bank are ARGUMENTS, not closure constants — closure
+        # capture would embed the ~0.5 GB bank into the serialized compile
+        # payload (remote-compile transports reject it with HTTP 413)
+        out = engine._pipeline(params, database, bank, x)
         # 64³ df -> 8³ by mean-pooling to form the next input (cheap, keeps
         # the chained shape equal to the input shape)
         b = x.shape[0]
@@ -122,14 +128,15 @@ def measure(engine, batch_size: int, iters: int = 20) -> float:
 
     rng = np.random.default_rng(1)
     x0 = jnp.asarray(rng.random((batch_size, 8, 8, 8, 1)).astype(np.float32) * 0.5)
-    compiled = jax.jit(step).lower(x0).compile()  # AOT: no throwaway run
+    args = (engine.params, engine.database, engine.serving_bank)
+    compiled = jax.jit(step).lower(*args, x0).compile()  # AOT: no throwaway run
     print(f"# batch {batch_size}: compiled", file=sys.stderr, flush=True)
-    x = compiled(x0)
+    x = compiled(*args, x0)
     float(x[0, 0, 0, 0, 0])  # warm + sync
     t0 = time.perf_counter()
     x = x0
     for _ in range(iters):
-        x = compiled(x)
+        x = compiled(*args, x)
     float(x[0, 0, 0, 0, 0])  # final fetch bounds the dependent chain
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
@@ -157,11 +164,13 @@ def measure_simple(engine, batch_size: int, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
-def _run_one(mode: str, batch_size: int) -> None:
+def _run_one(mode: str, batch_size: int, variant: str = "base") -> None:
     """Subprocess entry: build the engine, run one measurement, print the
-    chunks/sec as the last stdout line."""
+    chunks/sec as the last stdout line. `variant`: base | fused (MXU-lane
+    fused decoder) | pallas (fused attention kernel) | fused+pallas."""
     _enable_compile_cache()
-    engine = build_flagship()
+    engine = build_flagship(use_fused_decoder="fused" in variant,
+                            use_pallas_attention="pallas" in variant)
     if mode == "chained":
         tput = measure(engine, batch_size, iters=20)
     else:
@@ -180,12 +189,18 @@ def main():
     best = 0.0
     best_b = 0
     # combined-fetch ("simple") first: pipelined executions, one forcing
-    # fetch — best honest throughput and the most compile-reliable program;
-    # strictly-serial chained mode and a tiny batch as safety nets
-    ladder = [("simple", 128), ("simple", 64), ("chained", 64), ("simple", 8)]
-    for mode, b in ladder:
+    # fetch — best honest throughput and the most compile-reliable program.
+    # Variant order follows the measured round-2 chained (serial device time)
+    # results on one v5e chip: fused@256 842.7 and fused+pallas@128 842.2
+    # chunks/sec vs base@64 501.8 (fused = upsample folded into the decoder
+    # conv, 8x MXU lanes; pallas = fused attention kernel; fused+pallas@256
+    # OOMs HBM). Base engine and a tiny batch remain as safety nets.
+    ladder = [("simple", 256, "fused"), ("simple", 128, "fused+pallas"),
+              ("simple", 128, "fused"), ("simple", 128, "base"),
+              ("chained", 64, "base"), ("simple", 8, "base")]
+    for mode, b, variant in ladder:
         try:
-            proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b)],
+            proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b), variant],
                                   capture_output=True, text=True, timeout=480)
             result = 0.0
             for line in proc.stdout.splitlines():
@@ -198,7 +213,8 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# {mode} batch {b} timed out", file=sys.stderr, flush=True)
             continue
-        print(f"# {mode} batch {b}: {result:.1f} chunks/sec", file=sys.stderr, flush=True)
+        print(f"# {mode} batch {b} [{variant}]: {result:.1f} chunks/sec",
+              file=sys.stderr, flush=True)
         if result > best:
             best, best_b = result, b
         if best > 0:
@@ -218,6 +234,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
-        _run_one(sys.argv[2], int(sys.argv[3]))
+        _run_one(sys.argv[2], int(sys.argv[3]),
+                 sys.argv[4] if len(sys.argv) > 4 else "base")
     else:
         main()

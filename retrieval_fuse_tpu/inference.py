@@ -47,7 +47,9 @@ class RetrieveRefineEngine:
 
     def __init__(self, config: dict, params: dict, database: jnp.ndarray,
                  patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16,
-                 use_feature_bank: bool = True, feature_bank=None):
+                 use_feature_bank: bool = True, feature_bank=None,
+                 use_pallas_attention: bool = False,
+                 use_fused_decoder: bool = False):
         """
         params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
                  'patched_attention_block'} param trees.
@@ -59,6 +61,15 @@ class RetrieveRefineEngine:
         use_feature_bank: precompute retrieval-backbone features for every
                     bank tile and gather at serving time (default; set False
                     to re-encode tiles per call like the training forward).
+        use_pallas_attention: run the K-way patch attention as the fused
+                    Pallas kernel (ops/pallas_attention) instead of the flax
+                    module — one VMEM-resident pass over theta/phi MLPs +
+                    selection + blend per patch tile. Supported for the
+                    shipped attention config (normalize, no_output_mapping,
+                    blend); falls back to interpret mode off-TPU.
+        use_fused_decoder: fold the decoder's nearest-upsample into its first
+                    conv (ops/fused_decoder) — identical math, 8x MXU lane
+                    utilization for the pipeline's most expensive conv.
         """
         self.config = config
         self.mesh = mesh
@@ -77,6 +88,17 @@ class RetrieveRefineEngine:
         self.decoder = get_decoder(config)
         self.retrieval_backbone = get_retrieval_backbone(config)
         self.attention = get_attention_block(config, deterministic_selection=True)
+        self.use_pallas_attention = use_pallas_attention
+        if use_pallas_attention:
+            # the fused kernel implements the shipped attention variant
+            assert config.get("attn_normalize", True) and config.get(
+                "attn_no_output_mapping", True) and config.get("attn_blend", True), (
+                "pallas attention covers the shipped config "
+                "(normalize + no_output_mapping + blend)")
+        self.attn_extent = config.get("attn_patch_extent", 4) // 2
+        self.attn_num_patch = config.get("attn_num_patch", 16)
+        self.attn_retrieval_mode = config.get("attn_retrieval_mode", True)
+        self.nf = config["nf"]
 
         cast = lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, t)
@@ -95,6 +117,12 @@ class RetrieveRefineEngine:
         import numpy as _np
         self.input_trunc = float(_np.float16(dtr["voxel_size_input"] * 3).astype(_np.float32))
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
+
+        self.fused_decoder = None
+        if use_fused_decoder:
+            from retrieval_fuse_tpu.ops.fused_decoder import FusedFinalDecoder
+            self.fused_decoder = FusedFinalDecoder(
+                self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
 
         self.feature_bank = None
         if feature_bank is not None:
@@ -184,11 +212,37 @@ class RetrieveRefineEngine:
         # 3) refinement: backbone + attention fusion + decoder
         x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
         x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
-        fused = self.attention.apply({"params": params["patched_attention_block"]},
-                                     x_back, x_retrieval)
-        pred = self.decoder.apply({"params": params["decoder"]}, fused)
+        if self.use_pallas_attention:
+            fused = self._pallas_attention(params, x_back, x_retrieval)
+        else:
+            fused = self.attention.apply({"params": params["patched_attention_block"]},
+                                         x_back, x_retrieval)
+        if self.fused_decoder is not None:
+            pred = self.fused_decoder(fused)
+        else:
+            pred = self.decoder.apply({"params": params["decoder"]}, fused)
         # tanh space -> df
         return ((pred.astype(jnp.float32) + 1.0) * self.target_trunc / 2.0)
+
+    def _pallas_attention(self, params, x_back, x_retrieval):
+        """Unfold -> fused Pallas K-way attention -> fold. Mirrors
+        PatchedAttentionBlock.__call__'s patch regrouping exactly
+        (models/attention.py:180-188); selection is the deterministic hard
+        argmax the serving engine uses anyway."""
+        import jax as _jax
+        from retrieval_fuse_tpu.ops.pallas_attention import pallas_patch_attention
+        e, r, k, nf = self.attn_extent, self.attn_num_patch, self.K, self.nf
+        f = nf * e ** 3
+        blk = params["patched_attention_block"]["attention_blocks_layer"]
+        xp = unfold3d(x_back, e).reshape(-1, f)
+        pp = unfold3d(x_retrieval, e).reshape(-1, k, r ** 3, e, e, e, nf)
+        pp = pp.transpose(0, 2, 1, 3, 4, 5, 6).reshape(-1, k, f)
+        fused = pallas_patch_attention(
+            xp, pp, blk["theta"], blk["phi"], k,
+            retrieval_mode=self.attn_retrieval_mode,
+            sharpness=float(32 * e ** 3 * 4),
+            interpret=_jax.default_backend() != "tpu")
+        return fold3d(fused.reshape(-1, e, e, e, nf), r, e)
 
     @property
     def serving_bank(self) -> jnp.ndarray:

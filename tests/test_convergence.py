@@ -25,6 +25,10 @@ def test_retrieval_training_converges(synth_superres_root, tmp_path, monkeypatch
     monkeypatch.chdir(tmp_path)
     cfg = make_synthetic_config(synth_superres_root, task="superresolution")
     cfg["retrieval_training"]["batch_size"] = 32
+    # no scheduler -> no 1500-step warm-up (reference semantics): a 60-step
+    # smoke would otherwise run at ~4% of the base LR and learn nothing
+    cfg["retrieval_training"]["scheduler"] = None
+    cfg["retrieval_training"]["lr"] = 1e-3
     cfg["retrieval_model"].update(nf_input=4, nf_target=4, latent_dim=16)
     cfg["experiment"] = "test_conv_retrieval"
     trainer = RetrievalTrainer(cfg, enable_vis=False)
@@ -51,7 +55,7 @@ def _refinement_trainer(synth_superres_root, phase):
     cfg = make_synthetic_config(synth_superres_root, task="superresolution")
     cfg.update(nf=4, K=2, batch_size=2, unet_num_level=4, retrieval_fmaps=4,
                retrieval_num_level=4, experiment=f"test_conv_refine_p{phase}",
-               current_phase=phase)
+               current_phase=phase, lr=1e-3)
     for d in ("dataset_train", "dataset_val"):
         cfg[d].update(patch_size_input=8, patch_context_input=0, patch_size_target=64,
                       patch_context_target=0, patch_stride=64)
@@ -61,7 +65,7 @@ def _refinement_trainer(synth_superres_root, phase):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("phase,steps,factor", [(0, 40, 0.6), (3, 30, 0.8)],
+@pytest.mark.parametrize("phase,steps,factor", [(0, 60, 0.6), (3, 40, 0.85)],
                          ids=["phase0-backbone", "phase3-full"])
 def test_refinement_phase_overfits_one_batch(synth_superres_root, tmp_path, monkeypatch,
                                              phase, steps, factor):

@@ -1,0 +1,43 @@
+"""Fused upsample+conv serving decoder == the flax final decoder, exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from retrieval_fuse_tpu.models.refinement import Superresolution08FinalDecoder
+from retrieval_fuse_tpu.ops.fused_decoder import (
+    FusedFinalDecoder, fuse_upsample_conv_kernel, depth_to_space_2x)
+
+
+def test_fused_kernel_equals_upsample_conv():
+    """The folded 3³/8C kernel on the small grid == conv on nearest-upsampled
+    input, including zero-padding boundaries."""
+    rng = np.random.default_rng(0)
+    c_in, c_out, s = 3, 5, 6
+    w = rng.standard_normal((3, 3, 3, c_in, c_out)).astype(np.float32)
+    x = rng.standard_normal((2, s, s, s, c_in)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1, 1), (1, 1, 1, 1, 1),
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    x_up = jnp.repeat(jnp.repeat(jnp.repeat(jnp.asarray(x), 2, 1), 2, 2), 2, 3)
+    ref = jax.lax.conv_general_dilated(x_up, jnp.asarray(w), (1, 1, 1),
+                                       [(1, 1)] * 3, dimension_numbers=dn)
+    fused = jax.lax.conv_general_dilated(jnp.asarray(x),
+                                         jnp.asarray(fuse_upsample_conv_kernel(w)),
+                                         (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn)
+    got = depth_to_space_2x(fused, c_out)
+    # atol covers float reassociation from the per-(o,d) weight pre-summing
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_final_decoder_equals_flax():
+    nf = 4
+    dec = Superresolution08FinalDecoder(nf=nf, layer_order="gcr")
+    x = np.random.default_rng(1).standard_normal((2, 16, 16, 16, nf)).astype(np.float32)
+    v = dec.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = np.asarray(dec.apply(v, jnp.asarray(x)))
+    fused = FusedFinalDecoder(v["params"], nf=nf)
+    got = np.asarray(fused(jnp.asarray(x)))
+    assert got.shape == ref.shape == (2, 32, 32, 32, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+

@@ -141,3 +141,27 @@ def test_engine_16cubed_input_geometry(setup):
     x = np.random.default_rng(2).random((2, 16, 16, 16, 1)).astype(np.float32) * 0.5
     out = np.asarray(eng(x))
     assert out.shape == (2, 64, 64, 64, 1)
+
+
+def test_pallas_attention_engine_equals_flax(setup):
+    """Serving with the fused Pallas attention kernel (interpret mode on CPU)
+    must reproduce the flax-module engine exactly."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_p = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True, use_pallas_attention=True)
+    out = np.asarray(eng(x))
+    out_p = np.asarray(eng_p(x))
+    np.testing.assert_allclose(out_p, out, atol=2e-5)
+
+
+def test_fused_decoder_engine_equals_flax(setup):
+    """Serving with the fused upsample+conv decoder must reproduce the
+    flax-decoder engine."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_f = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True, use_fused_decoder=True)
+    np.testing.assert_allclose(np.asarray(eng_f(x)), np.asarray(eng(x)), atol=2e-5)

@@ -121,8 +121,11 @@ def _synthetic_mapping(ds_train_ours, ds_val_ours, K, seed, zero_row_every=5):
             for k in range(K):
                 count += 1
                 if count % zero_row_every == 0:
+                    # zero-patch sentinel row: extent [0, ps]³ like
+                    # get_zero_patch_entry (util/retrieval.py:21-26)
+                    ps = ds_train_ours.scene_handler.patch_size_target
                     rows[k, 0] = -1
-                    rows[k, 1:7] = 0
+                    rows[k, 1:7] = [0, ps, 0, ps, 0, ps]
                 else:
                     si, ext = train_patches[rng.integers(len(train_patches))]
                     rows[k, 0] = si
