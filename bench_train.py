@@ -16,7 +16,8 @@ import time
 import numpy as np
 
 
-def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True):
+def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True,
+         remat: bool = False, phase: int = 3):
     import jax
     import jax.numpy as jnp
     from retrieval_fuse_tpu.data.synthetic import generate_synthetic_dataset, make_synthetic_config
@@ -31,16 +32,16 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True):
         cfg = make_synthetic_config(tmp, task="superresolution")
         cfg.update(nf=16, K=4, batch_size=batch_size, unet_num_level=4,
                    retrieval_fmaps=16, retrieval_num_level=4,
-                   experiment="bench_train", current_phase=3,
-                   mixed_precision=mixed_precision)
+                   experiment="bench_train", current_phase=phase,
+                   mixed_precision=mixed_precision, remat=remat)
         for d in ("dataset_train", "dataset_val"):
             cfg[d].update(patch_size_input=8, patch_context_input=0,
                           patch_size_target=64, patch_context_target=0, patch_stride=64)
         trainer = RefinementTrainer(cfg, enable_vis=False)
-        trainer.set_phase(3)
+        trainer.set_phase(phase)
         items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(batch_size)]
         batch = trainer._device_batch(collate(items, batch_size))
-        step = trainer._train_steps[3]
+        step = trainer._train_steps[phase]
         rng = jax.random.PRNGKey(0)
         lr = jnp.asarray(trainer.base_lr, jnp.float32)
         state, total, _ = step(trainer.state, batch, rng, lr)
@@ -56,13 +57,17 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True):
         tput = batch_size * iters / dt
         print(json.dumps({"metric": "refinement_train_step_throughput_per_chip",
                           "value": round(tput, 1), "unit": "chunks/sec",
-                          "mixed_precision": mixed_precision,
-                          "batch_size": batch_size}))
+                          "mixed_precision": mixed_precision, "remat": remat,
+                          "phase": phase, "batch_size": batch_size}))
         return tput
     finally:
         os.chdir(cwd)
 
 
 if __name__ == "__main__":
+    # bench_train.py [batch] [mp:0|1] [remat:0|1] [phase]
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    main(batch_size=b)
+    mp = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
+    rm = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    ph = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    main(batch_size=b, mixed_precision=mp, remat=rm, phase=ph)

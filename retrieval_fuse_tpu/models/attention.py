@@ -23,6 +23,18 @@ from retrieval_fuse_tpu.ops.fold3d import unfold3d, fold3d
 from retrieval_fuse_tpu.ops.init import torch_kernel_init, torch_bias_init, dirac_noise_init
 
 
+def _l2_normalize(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Value-identical to x / max(‖x‖, eps) for nonzero rows, with FINITE
+    gradients at exactly-zero rows (d‖x‖/dx is NaN at 0; the double-where
+    keeps the unused branch finite). Attention features are trained in
+    phases 2/3, so the gradient path matters."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    safe = jnp.where(sq > 0, x, 1.0)
+    normed = safe * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(safe * safe, axis=axis, keepdims=True), 1e-24))
+    return jnp.where(sq > 0, normed, 0.0)
+
+
 class AttentionFeatureEncoder(nn.Module):
     """MLP nf·e³ -> 128 -> 128 -> 128 -> n_out with LeakyReLU(0.01).
 
@@ -96,8 +108,8 @@ class AttentionBlock(nn.Module):
         x_feat = self.theta(x)
         p_feat = self.phi(p)
         if self.normalize:
-            x_feat = x_feat / jnp.maximum(jnp.linalg.norm(x_feat, axis=1, keepdims=True), 1e-12)
-            p_feat = p_feat / jnp.maximum(jnp.linalg.norm(p_feat, axis=1, keepdims=True), 1e-12)
+            x_feat = _l2_normalize(x_feat, axis=1)
+            p_feat = _l2_normalize(p_feat, axis=1)
         return x_feat, p_feat
 
     def __call__(self, x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -107,8 +119,8 @@ class AttentionBlock(nn.Module):
         x_feat = self.theta(x)                                     # (B, 32)
         p_feat = self.phi(p.reshape(b * k, e, e, e, c)).reshape(b, k, -1)
         if self.normalize:
-            x_feat = x_feat / jnp.maximum(jnp.linalg.norm(x_feat, axis=1, keepdims=True), 1e-12)
-            p_feat = p_feat / jnp.maximum(jnp.linalg.norm(p_feat, axis=2, keepdims=True), 1e-12)
+            x_feat = _l2_normalize(x_feat, axis=1)
+            p_feat = _l2_normalize(p_feat, axis=2)
         if self.no_output_mapping:
             g_feat = p.reshape(b, k, -1)
         else:

@@ -32,7 +32,12 @@ def _negative_column_indices(batch_size: int) -> np.ndarray:
 
 
 def _cosine_similarity_matrix(reps: jnp.ndarray) -> jnp.ndarray:
-    normed = reps / jnp.maximum(jnp.linalg.norm(reps, axis=1, keepdims=True), 1e-8)
+    # safe-norm (double-where): zero rows normalize to zero with FINITE
+    # gradients (d‖x‖/dx is NaN at 0 and `where` alone doesn't block it)
+    sq = jnp.sum(reps * reps, axis=1, keepdims=True)
+    safe = jnp.where(sq > 0, reps, 1.0)
+    normed = safe * jax.lax.rsqrt(jnp.maximum(jnp.sum(safe * safe, axis=1, keepdims=True), 1e-16))
+    normed = jnp.where(sq > 0, normed, 0.0)
     return jnp.dot(normed, normed.T, preferred_element_type=jnp.float32)
 
 
@@ -107,13 +112,24 @@ def get_cosine_similarity(pred_norms: jnp.ndarray, target_norms: jnp.ndarray) ->
     pred/target: (B, D, H, W, 3) channels-last. Parity: reference
     model/loss.py:78-85, with the dynamic boolean mask replaced by a masked
     mean (identical value when any voxel is valid).
+
+    Gradient safety: the reference's boolean INDEXING removes zero-norm rows
+    from the autodiff graph entirely; a where-mask does not — d‖p‖/dp is NaN
+    at p=0 and `where` propagates NaN from the untaken branch. Zero-normal
+    voxels are routine (flat truncated regions, saturated tanh predictions),
+    and one NaN poisons every parameter. The standard double-where fix:
+    replace invalid rows with a finite dummy BEFORE the norm so their
+    (discarded) gradients are finite. Values are unchanged; gradients now
+    match the reference's subset semantics.
     """
     p = pred_norms.reshape(-1, 3)
     t = target_norms.reshape(-1, 3)
-    p_norm = jnp.linalg.norm(p, axis=1)
-    t_norm = jnp.linalg.norm(t, axis=1)
-    valid = (p_norm != 0) & (t_norm != 0)
-    pn = p / jnp.maximum(p_norm, 1e-12)[:, None]
-    tn = t / jnp.maximum(t_norm, 1e-12)[:, None]
+    p_sq = jnp.sum(p * p, axis=1)
+    t_sq = jnp.sum(t * t, axis=1)
+    valid = (p_sq > 0) & (t_sq > 0)
+    p_safe = jnp.where(valid[:, None], p, 1.0)
+    t_safe = jnp.where(valid[:, None], t, 1.0)
+    pn = p_safe * jax.lax.rsqrt(jnp.maximum(jnp.sum(p_safe * p_safe, axis=1, keepdims=True), 1e-24))
+    tn = t_safe * jax.lax.rsqrt(jnp.maximum(jnp.sum(t_safe * t_safe, axis=1, keepdims=True), 1e-24))
     cos = jnp.sum(pn * tn, axis=1)
     return jnp.sum(jnp.where(valid, cos, 0.0)) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,161 @@
+"""Serving CLI: batch-process raw low-res input chunks into 64³ TSDFs with
+the fused retrieve+refine engine.
+
+The reference has no serving entry point — "inference" there is re-running
+validation with `--sanity_steps -1` over disk-composed retrievals
+(trainer/train_refinement.py:152-173, README.md:190-198). This CLI is the
+deployable equivalent built on inference.RetrieveRefineEngine: the dictionary
+embeddings become the on-device kNN database, the train-set target tiles the
+patch bank (row-aligned with the database, zero-patch row included), and each
+input chunk runs the full jitted pipeline — no composed artifacts on disk.
+
+    python -m retrieval_fuse_tpu.serve --config <resolved.yaml> \
+        --retrieval_ckpt runs/<exp>/ckpt_epoch=N \
+        --refinement_ckpt runs/<exp2>/ckpt_epoch=M \
+        --input <dir with <scene>.npz raw input chunks> --output <dir> \
+        [--batch_size 8] [--f32] [--obj] [--fused_decoder] [--pallas_attention]
+
+Outputs <scene>_pred.npz (key "arr", f16 TSDF) and optionally marching-cubes
+OBJ meshes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from retrieval_fuse_tpu.config import read_config
+from retrieval_fuse_tpu.data import SceneHandler, PatchedSceneDataset
+from retrieval_fuse_tpu.train.checkpoint import load_checkpoint
+from retrieval_fuse_tpu.utils.misc import get_tree_path
+
+
+def build_patch_bank_from_database(database: np.ndarray, scene_list, dataset_train,
+                                   patch_size: int = 16) -> np.ndarray:
+    """(N_rows, 16³) raw df tiles row-aligned with the dictionary database:
+    row i crops the unpadded train scene by the row's stored extent; the
+    zero-patch sentinel row (scene_idx -1) becomes a trunc-filled tile (what
+    the compose stage pastes for it, util/retrieval.py:160-163)."""
+    n = database.shape[0]
+    if n:
+        db_ps = int(database[0, 2] - database[0, 1])
+        if db_ps != patch_size:
+            raise ValueError(
+                f"dictionary was built with {db_ps}³ target patches; the serving "
+                f"engine folds {patch_size}³ tiles — build the map with the "
+                f"RETRIEVAL patch geometry (patch_size_target={patch_size}), not "
+                f"the refinement chunk geometry")
+    bank = np.empty((n, patch_size, patch_size, patch_size), np.float32)
+    cache: dict = {}
+    trunc = float(dataset_train.scene_handler.target_trunc)
+    for i in range(n):
+        idx = int(database[i, 0])
+        if idx < 0:
+            bank[i] = trunc
+            continue
+        if idx not in cache:
+            cache[idx] = dataset_train.get_scene_target(scene_list[idx])
+        x0, x1, y0, y1, z0, z1 = database[i, 1:7].astype(np.int64)
+        bank[i] = cache[idx][x0:x1, y0:y1, z0:z1]
+    return bank
+
+
+def build_engine_from_artifacts(config: dict, retrieval_ckpt, refinement_ckpt,
+                                compute_dtype=None, mesh=None,
+                                use_fused_decoder: bool = False,
+                                use_pallas_attention: bool = False):
+    """Engine from on-disk artifacts: dictionary database (tree path derived
+    from config+retrieval_ckpt like the compose CLI) + train scenes (bank) +
+    the two checkpoints."""
+    import jax.numpy as jnp
+    from retrieval_fuse_tpu.inference import RetrieveRefineEngine
+
+    compute_dtype = compute_dtype or jnp.bfloat16
+    config = dict(config)
+    config["retrieval_ckpt"] = str(retrieval_ckpt)
+    tree_path = get_tree_path(config)
+    database = np.load(Path(tree_path) / "database.npy")
+    scene_list = json.loads((Path(tree_path) / "index.json").read_text())
+
+    sh_train = SceneHandler("train", config)
+    ds_train = PatchedSceneDataset("train", config["dataset_train"], sh_train)
+    bank = build_patch_bank_from_database(database, scene_list, ds_train)
+
+    params = dict(load_checkpoint(refinement_ckpt)["params"])
+    params["fenc_input"] = load_checkpoint(retrieval_ckpt)["params"]["fenc_input"]
+
+    # the retrieval patch encoder saw retrieval-config normalization; serving
+    # configs may carry it under `retrieval_norm` (defaults to dataset_train's)
+    return RetrieveRefineEngine(
+        config, params, database[:, 7:], bank, mesh=mesh,
+        compute_dtype=compute_dtype, use_feature_bank=True,
+        use_fused_decoder=use_fused_decoder,
+        use_pallas_attention=use_pallas_attention)
+
+
+def serve_directory(engine, input_dir, output_dir, batch_size: int = 8,
+                    write_obj: bool = False, scene_handler=None) -> list[str]:
+    """Run every <scene>.npz raw input chunk through the engine; fixed-shape
+    batches (padded tail), outputs <scene>_pred.npz (+ optional OBJ)."""
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    files = sorted(input_dir.glob("*.npz"))
+    done = []
+    for start in range(0, len(files), batch_size):
+        chunk_files = files[start: start + batch_size]
+        vols = [np.load(f)["arr"].astype(np.float32) for f in chunk_files]
+        batch = np.stack(vols)[..., None]
+        if batch.shape[0] < batch_size:  # static shapes: pad the tail batch
+            pad = batch_size - batch.shape[0]
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        pred = np.asarray(engine(batch))[: len(chunk_files), ..., 0]
+        for f, vol in zip(chunk_files, pred):
+            out = output_dir / f"{f.stem}_pred.npz"
+            np.savez_compressed(out, arr=vol.astype(np.float16))
+            if write_obj and scene_handler is not None:
+                scene_handler.visualize_target_chunk(
+                    vol.astype(np.float32), output_dir / f"{f.stem}_pred.obj")
+            done.append(f.stem)
+    return done
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--retrieval_ckpt", type=str, required=True)
+    parser.add_argument("--refinement_ckpt", type=str, required=True)
+    parser.add_argument("--input", type=str, required=True, help="dir of <scene>.npz raw input chunks")
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--K", type=int, default=None)
+    parser.add_argument("--f32", action="store_true", help="serve in float32 (default bf16)")
+    parser.add_argument("--obj", action="store_true", help="also write marching-cubes meshes")
+    parser.add_argument("--fused_decoder", action="store_true")
+    parser.add_argument("--pallas_attention", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    from retrieval_fuse_tpu.parallel.mesh import mesh_for_batch
+
+    config = read_config(args.config)
+    if args.K is not None:
+        config["K"] = args.K
+    config["no_retrievals"] = True  # the engine retrieves on device
+    engine = build_engine_from_artifacts(
+        config, args.retrieval_ckpt, args.refinement_ckpt,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        mesh=mesh_for_batch(args.batch_size),
+        use_fused_decoder=args.fused_decoder,
+        use_pallas_attention=args.pallas_attention)
+    sh = SceneHandler("val", config) if args.obj else None
+    done = serve_directory(engine, args.input, args.output, args.batch_size,
+                           write_obj=args.obj, scene_handler=sh)
+    print(f"served {len(done)} chunks -> {args.output}")
+    return done
+
+
+if __name__ == "__main__":
+    main()

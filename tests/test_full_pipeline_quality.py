@@ -1,0 +1,79 @@
+"""Full-pipeline quality gate: retrieval training -> dictionary/kNN/compose
+to disk -> refinement training CONSUMING the composed retrievals -> the fused
+prediction's rough IoU must beat the 1-NN retrieval baseline on val.
+
+This is the workflow the reference runs across three CLIs
+(trainer/train_retrieval.py -> util/retrieval.py --mode map/compose ->
+trainer/train_refinement.py) compressed onto synthetic data — a quality
+regression anywhere in the chain (encoder learning, artifact layout,
+retrieval consumption, curriculum training, metric suite) fails here.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_fused_prediction_beats_nn1_baseline(synth_superres_root, tmp_path, monkeypatch):
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    from retrieval_fuse_tpu.train.retrieval_trainer import RetrievalTrainer
+    from retrieval_fuse_tpu.train.refinement_trainer import RefinementTrainer
+    from retrieval_fuse_tpu.retrieval.cli import retrievals_to_disk
+    from retrieval_fuse_tpu.data import batch_iterator
+
+    monkeypatch.chdir(tmp_path)
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    cfg["retrieval_training"].update(batch_size=16, scheduler=None, lr=1e-3)
+    cfg["retrieval_model"].update(nf_input=4, nf_target=4, latent_dim=16)
+    cfg["experiment"] = "quality_chain"
+
+    # 1) retrieval training (a few epochs of real contrastive learning)
+    rtr = RetrievalTrainer(cfg, enable_vis=False)
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(3):
+        for batch in batch_iterator(rtr.train_dataset, 16, shuffle=True,
+                                    drop_last=True, seed=epoch, prefetch=0):
+            rng, k = jax.random.split(rng)
+            rtr.state, _, _ = rtr._train_step(rtr.state, rtr._device_batch(batch), k,
+                                              jnp.asarray(1e-3, jnp.float32))
+    ckpt = rtr.save(Path("runs/quality_chain"), epoch=0)
+
+    # 2) dictionary -> kNN map -> composed volumes on disk (reference layout)
+    cfg["retrieval_ckpt"] = str(ckpt)
+    cfg["K"] = 2
+    cfg["query"]["K"] = 2
+    retrievals_to_disk("map", cfg)
+    retrievals_to_disk("compose", cfg)
+
+    # 3) refinement training consuming the composed retrievals
+    rcfg = dict(cfg)
+    rcfg.update(nf=4, batch_size=2, unet_num_level=4, retrieval_fmaps=4,
+                retrieval_num_level=4, no_retrievals=False, current_phase=0, lr=1e-3)
+    for d in ("dataset_train", "dataset_val"):
+        rcfg[d] = dict(rcfg[d])
+        rcfg[d].update(patch_size_input=8, patch_context_input=0,
+                       patch_size_target=64, patch_context_target=0, patch_stride=64)
+    trainer = RefinementTrainer(rcfg, enable_vis=False, deterministic_attention=True)
+    rng = jax.random.PRNGKey(1)
+    for phase, epochs in [(0, 12), (3, 6)]:
+        trainer.set_phase(phase)
+        step = trainer._train_steps[phase]
+        lr = jnp.asarray(1e-3, jnp.float32)
+        for epoch in range(epochs):
+            for batch in batch_iterator(trainer.train_dataset, 2, shuffle=True,
+                                        drop_last=True, seed=epoch, prefetch=0):
+                rng, k = jax.random.split(rng)
+                trainer.state, total, _ = step(trainer.state, trainer._device_batch(batch), k, lr)
+    assert np.isfinite(float(total))
+
+    # 4) the quality gate: fused prediction beats the 1-NN composed baseline
+    results = trainer.validate()
+    iou_fuse = results["val_fuse"]["iou"]
+    iou_nn1 = results["val_nn1"]["iou"]
+    print(f"val IoU: fused={iou_fuse:.4f} nn1={iou_nn1:.4f}")
+    assert np.isfinite(iou_fuse) and iou_fuse > 0
+    assert iou_fuse > iou_nn1, f"fused {iou_fuse:.4f} <= nn1 {iou_nn1:.4f}"

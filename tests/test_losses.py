@@ -114,3 +114,44 @@ def test_cosine_similarity_masks_zero_normals():
 def test_patch_style_loss_zero_for_equal():
     z = jnp.asarray(np.random.default_rng(0).standard_normal((4, 6)).astype(np.float32))
     assert float(patch_style_loss(z, z)) < 1e-10
+
+
+def test_cosine_similarity_gradient_finite_with_zero_normals():
+    """Zero-normal voxels (flat truncated regions / saturated predictions)
+    must NOT produce NaN gradients: the reference's boolean indexing drops
+    them from the graph; our masked version uses the double-where safe norm.
+    Round-2 regression test — before the fix, one saturated region NaN'd the
+    whole refinement training run at lr >= 3e-4."""
+    import jax
+    from retrieval_fuse_tpu.models.losses import get_cosine_similarity
+
+    rng = np.random.default_rng(3)
+    t = rng.standard_normal((1, 4, 4, 4, 3)).astype(np.float32)
+    t[0, 0] = 0.0  # some invalid target voxels too
+
+    def loss(p):
+        return 1.0 - get_cosine_similarity(p, jnp.asarray(t))
+
+    p = rng.standard_normal((1, 4, 4, 4, 3)).astype(np.float32)
+    p[0, :2] = 0.0  # exactly-zero prediction normals
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(p))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad))), "NaN gradient through zero normals"
+
+
+def test_nt_xent_gradient_finite_with_zero_rows():
+    import jax
+    from retrieval_fuse_tpu.models.losses import nt_xent_loss_masked
+
+    rng = np.random.default_rng(4)
+    zis = rng.standard_normal((6, 8)).astype(np.float32)
+    zjs = rng.standard_normal((6, 8)).astype(np.float32)
+    zis[4:] = 0.0  # exactly-zero (e.g. padded) rows
+    valid = np.array([1, 1, 1, 1, 0, 0], bool)
+
+    def loss(a):
+        return nt_xent_loss_masked(a, jnp.asarray(zjs), jnp.asarray(valid), 0.1)
+
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(zis))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
