@@ -28,6 +28,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _topk_by_iteration(vals: jnp.ndarray, ids: jnp.ndarray, k: int):
+    """(Q, M) values with UNIQUE per-row ids -> (Q, k) descending top values
+    and their ids (ties broken toward the lowest id). k rounds of
+    max-reduce + mask — lax.top_k has no Pallas TPU lowering
+    (NotImplementedError on device), and k is small here so k VPU
+    reductions beat a full sort anyway."""
+    s = vals
+    out_v, out_i = [], []
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)
+        is_max = s == m
+        sel_id = jnp.min(jnp.where(is_max, ids, jnp.int32(2 ** 30)), axis=1, keepdims=True)
+        out_v.append(m)
+        out_i.append(sel_id)
+        s = jnp.where(ids == sel_id, -jnp.inf, s)
+    return jnp.concatenate(out_v, axis=1), jnp.concatenate(out_i, axis=1)
+
+
 def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
     t = pl.program_id(0)
 
@@ -35,8 +53,7 @@ def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
     base = t * tile_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1) + base
 
-    tile_vals, tile_pos = jax.lax.top_k(sims, k)                    # (Q, k)
-    tile_idx = jnp.take_along_axis(col_ids, tile_pos, axis=1)
+    tile_vals, tile_idx = _topk_by_iteration(sims, col_ids, k)      # (Q, k)
 
     @pl.when(t == 0)
     def _():
@@ -47,9 +64,9 @@ def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
     def _():
         cand_vals = jnp.concatenate([vals_ref[:], tile_vals], axis=1)   # (Q, 2k)
         cand_idx = jnp.concatenate([idx_ref[:], tile_idx], axis=1)
-        merged_vals, merged_pos = jax.lax.top_k(cand_vals, k)
+        merged_vals, merged_idx = _topk_by_iteration(cand_vals, cand_idx, k)
         vals_ref[:] = merged_vals
-        idx_ref[:] = jnp.take_along_axis(cand_idx, merged_pos, axis=1)
+        idx_ref[:] = merged_idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))

@@ -45,7 +45,13 @@ def query_dictionary_using_features(query_config: dict, patch_names, input_featu
     db_scene_ids = database[:, 0].astype(np.int32)
     db_embeddings = jnp.asarray(database[:, 7:])
 
+    # size the query batch so the (q_batch, N) similarity matrix stays within
+    # ~2 GB of HBM — at multi-million-row corpora the fixed 8192 batch would
+    # OOM (4096 queries x 1M rows is a 16 GB f32 score matrix)
     q_batch = 8192
+    n_rows = db_embeddings.shape[0]
+    while q_batch > 256 and q_batch * n_rows * 4 > 2 << 30:
+        q_batch //= 2
     retrieval_mapping: dict = {}
     with Timer("ExactKNN", verbose=False):
         for start in range(0, input_features.shape[0], q_batch):

@@ -33,6 +33,7 @@ def test_serve_cli_end_to_end(synth_superres_root, tmp_path, monkeypatch):
     retrievals_to_disk("map", cfg)
 
     ref_cfg = dict(cfg)
+    ref_cfg["experiment"] = "serve_refine"  # distinct run dir from the retrieval ckpt
     for d in ("dataset_train", "dataset_val"):
         ref_cfg[d] = dict(ref_cfg[d])
         ref_cfg[d].update(patch_size_input=8, patch_context_input=0,
