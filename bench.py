@@ -10,6 +10,15 @@ Target (BASELINE.md): >= 5,000 chunks/sec on TPU v5e-8. The reference's
 equivalent path is FLANN-on-CPU + disk-composed retrievals + torch forward.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Structure (round 3): the whole measurement ladder runs in ONE kill-able
+subprocess that builds the synthetic database/banks once and measures each
+engine variant sequentially on the warm transport — round 2's
+one-subprocess-per-variant design recompiled everything from scratch per
+entry and timed out on a degraded tunnel, so the official number never
+captured the fast paths. Results stream line-by-line to a temp file, so a
+ladder timeout still keeps every completed measurement; a per-entry
+fallback ladder (old style) only runs if the warm ladder produced nothing.
 """
 
 from __future__ import annotations
@@ -20,6 +29,37 @@ import sys
 import time
 
 import numpy as np
+
+# Ladder GROUPS, each its own kill-able subprocess with its own timeout —
+# round-3 lesson: ONE hung remote compile can eat the whole budget, so the
+# proven fast paths (group A) must never queue behind experimental entries.
+# Measured round-2/3 on one v5e chip (chained): fused@256 842.7,
+# fused+pallas@128 842.2 vs base@64 501.8 chunks/sec. Batch-256 programs are
+# where the remote compiler has failed historically (r2 "rc=1" = HTTP 500
+# tpu_compile_helper, diagnosed r3) -> they live in group B. Variants:
+# fused = upsample folded into the decoder conv (8x MXU lanes); packed =
+# additionally the second conv + 1x1 head space-to-depth-packed onto the 32³
+# grid (128 lanes end-to-end); pallas = fused attention kernel. "simple"
+# mode pipelines distinct inputs with one forcing fetch (best honest
+# throughput through a high-latency tunnel); "chained" serializes through
+# data deps (true device time).
+LADDER_GROUPS = [
+    [  # A: proven, compile-reliable (pallasp = packed-row gather + flat
+       #    attention kernel — the fastest measured variant; pallas = packed
+       #    feed into the flat kernel)
+        ("simple", 128, "fused+pallasp"),
+        ("simple", 128, "fused+pallas"),
+        ("simple", 128, "fused"),
+    ],
+    [  # B: experimental / historically compile-fragile (batch-256 programs
+       #    reproducibly kill the remote compile helper, r2+r3)
+        ("simple", 192, "fused+pallasp"),
+        ("chained", 128, "fused+pallasp"),
+        ("simple", 256, "fused+pallasp"),
+    ],
+]
+GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))
+
 
 def _enable_compile_cache():
     """Persistent compilation cache — only when the backend compiles locally
@@ -35,17 +75,8 @@ def _enable_compile_cache():
         pass
 
 
-def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,
-                   use_fused_decoder: bool = False):
-    import jax
-    import jax.numpy as jnp
-    from retrieval_fuse_tpu.inference import RetrieveRefineEngine
-    from retrieval_fuse_tpu.models import (
-        get_retrieval_networks, get_unet_backbone, get_decoder,
-        get_retrieval_backbone, get_attention_block)
-
-    compute_dtype = compute_dtype or jnp.bfloat16
-    cfg = {
+def flagship_config():
+    return {
         "task": "superresolution", "K": 4, "nf": 16, "unet_num_level": 4,
         "layer_order": "gcr", "retrieval_fmaps": 16, "retrieval_num_level": 4,
         "attn_normalize": True, "attn_use_switching": True, "attn_retrieval_mode": True,
@@ -58,6 +89,14 @@ def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,
                           "target_mean": 0.059954833543534335, "target_std": 0.010110036361741626,
                           "voxel_size_input": 0.166667, "voxel_size_target": 0.020834},
     }
+
+
+def build_params(cfg, compute_dtype):
+    import jax
+    import jax.numpy as jnp
+    from retrieval_fuse_tpu.models import (
+        get_retrieval_networks, get_unet_backbone, get_decoder,
+        get_retrieval_backbone, get_attention_block)
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     fenc_in, _ = get_retrieval_networks(cfg["retrieval_model"])
@@ -84,26 +123,51 @@ def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,
                 {"params": ks[4], "gumbel": ks[5]},
                 jnp.zeros((1, 32, 32, 32, nf)), jnp.zeros((K, 32, 32, 32, nf)))["params"],
         }
-    # ShapeNetV2-scale synthetic database: 27,131 train chunks x 64 tiles is the
-    # REAL deployment bank; for throughput the row values are irrelevant, only
-    # the (N, D) matmul + (N, 16³) gather shapes matter. N kept at one scene
-    # granularity: 27,132 rows (incl. zero patch). Generated ON DEVICE — a
-    # ~0.5 GB host->device upload is pure noise for a throughput benchmark
-    # (and chokes relayed/tunneled device transports).
+    return params
+
+
+def build_data(nf, compute_dtype):
+    """ShapeNetV2-scale synthetic database: 27,131 train chunks x 64 tiles is
+    the REAL deployment bank; for throughput the row values are irrelevant,
+    only the (N, D) matmul + (N, 8³·nf) gather shapes matter. Generated ON
+    DEVICE — a ~0.5 GB host->device upload is pure noise for a throughput
+    benchmark (and chokes relayed/tunneled device transports). The feature
+    bank carries random values: its one-time offline precompute is not part
+    of serving throughput, and the gather/fold/attention path is
+    value-independent in cost."""
+    import jax
+    import jax.numpy as jnp
     N = 27132
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    k1, _, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
     db = jax.random.normal(k1, (N, 64), jnp.float32)
     db = db / jnp.linalg.norm(db, axis=1, keepdims=True)
-    bank = jax.random.uniform(k2, (N, 16, 16, 16), jnp.float32) * 0.0625
-    # feature bank injected with random values: its one-time offline
-    # precompute is not part of serving throughput, and the gather/fold/
-    # attention path is value-independent in cost
     feature_bank = jax.random.normal(k3, (N, 8, 8, 8, nf), compute_dtype)
-    engine = RetrieveRefineEngine(cfg, params, db, bank, compute_dtype=compute_dtype,
-                                  feature_bank=feature_bank,
-                                  use_pallas_attention=use_pallas_attention,
-                                  use_fused_decoder=use_fused_decoder)
-    return engine
+    return db, feature_bank
+
+
+def build_engine(cfg, params, db, feature_bank, variant, compute_dtype):
+    from retrieval_fuse_tpu.inference import RetrieveRefineEngine
+    return RetrieveRefineEngine(
+        cfg, params, db, None, compute_dtype=compute_dtype,
+        feature_bank=feature_bank,
+        use_pallas_attention=("gathered" if "pallasg" in variant
+                              else "packedrows" if "pallasp" in variant
+                              else "pallas" in variant),
+        use_fused_decoder="fused" in variant or "packed" in variant,
+        use_packed_decoder="packed" in variant)
+
+
+def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,
+                   use_fused_decoder: bool = False):
+    """Single-engine builder kept for interactive use / bench_train imports."""
+    import jax.numpy as jnp
+    compute_dtype = compute_dtype or jnp.bfloat16
+    cfg = flagship_config()
+    params = build_params(cfg, compute_dtype)
+    db, feature_bank = build_data(cfg["nf"], compute_dtype)
+    variant = ("fused" if use_fused_decoder else "") + \
+              ("+pallas" if use_pallas_attention else "")
+    return build_engine(cfg, params, db, feature_bank, variant or "base", compute_dtype)
 
 
 def measure(engine, batch_size: int, iters: int = 20) -> float:
@@ -164,13 +228,51 @@ def measure_simple(engine, batch_size: int, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
-def _run_one(mode: str, batch_size: int, variant: str = "base") -> None:
-    """Subprocess entry: build the engine, run one measurement, print the
-    chunks/sec as the last stdout line. `variant`: base | fused (MXU-lane
-    fused decoder) | pallas (fused attention kernel) | fused+pallas."""
+def _run_ladder(out_path: str, group: int) -> None:
+    """Warm-ladder subprocess entry: build shared device data ONCE, then
+    measure every entry of LADDER_GROUPS[group] sequentially, appending a
+    result line to out_path after EACH measurement (a parent-side kill keeps
+    completed rows)."""
+    import jax.numpy as jnp
     _enable_compile_cache()
-    engine = build_flagship(use_fused_decoder="fused" in variant,
-                            use_pallas_attention="pallas" in variant)
+    cfg = flagship_config()
+    params = build_params(cfg, jnp.bfloat16)
+    db, feature_bank = build_data(cfg["nf"], jnp.bfloat16)
+    engines = {}
+    with open(out_path, "a") as out:
+        for mode, b, variant in LADDER_GROUPS[group]:
+            try:
+                if variant not in engines:
+                    engines[variant] = build_engine(cfg, params, db, feature_bank,
+                                                    variant, jnp.bfloat16)
+                engine = engines[variant]
+                t0 = time.perf_counter()
+                if mode == "chained":
+                    tput = measure(engine, b, iters=20)
+                else:
+                    tput = measure_simple(engine, b)
+                wall = time.perf_counter() - t0
+                print(f"# {mode} b={b} [{variant}]: {tput:.1f} chunks/sec "
+                      f"({wall:.0f}s incl. compile)", file=sys.stderr, flush=True)
+                out.write(f"{mode} {b} {variant} {tput:.2f}\n")
+                out.flush()
+            except Exception as e:  # noqa: BLE001 — diagnose, keep laddering
+                msg = f"{type(e).__name__}: {e}".replace("\n", " | ")
+                print(f"# {mode} b={b} [{variant}] FAILED: {msg[:300]}",
+                      file=sys.stderr, flush=True)
+                out.write(f"# fail {mode} {b} {variant} {msg[:200]}\n")
+                out.flush()
+
+
+def _run_one(mode: str, batch_size: int, variant: str = "base") -> None:
+    """Per-entry fallback subprocess: build one engine, run one measurement,
+    print the chunks/sec as the last stdout line."""
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    cfg = flagship_config()
+    params = build_params(cfg, jnp.bfloat16)
+    db, feature_bank = build_data(cfg["nf"], jnp.bfloat16)
+    engine = build_engine(cfg, params, db, feature_bank, variant, jnp.bfloat16)
     if mode == "chained":
         tput = measure(engine, batch_size, iters=20)
     else:
@@ -178,48 +280,83 @@ def _run_one(mode: str, batch_size: int, variant: str = "base") -> None:
     print(f"RESULT {tput:.2f}", flush=True)
 
 
+def _parse_ladder_results(path):
+    import re
+    results = []  # (tput, mode, batch, variant)
+    if not os.path.exists(path):
+        return results
+    pat = re.compile(r"^(simple|chained) (\d+) (\S+) (\d+(?:\.\d+)?)$")
+    with open(path) as f:
+        for line in f:
+            m = pat.match(line.strip())
+            if m:
+                results.append((float(m.group(4)), m.group(1), int(m.group(2)), m.group(3)))
+    return results
+
+
 def main():
-    """Ladder of isolated measurement subprocesses. Hung remote-compile RPCs
-    block in C calls that in-process signal watchdogs cannot interrupt, so
-    every measurement runs in its own kill-able subprocess: chained (RTT-
-    amortized) sizes first, per-call-fetch floor as the safety net."""
+    """Run the warm ladder in one kill-able subprocess (hung remote-compile
+    RPCs block in C calls that in-process signal watchdogs cannot interrupt);
+    harvest its streamed results even on timeout. Per-entry subprocesses
+    (round-2 style) remain only as the nothing-measured fallback."""
     import subprocess
+    import tempfile
 
     here = os.path.abspath(__file__)
-    best = 0.0
-    best_b = 0
-    # combined-fetch ("simple") first: pipelined executions, one forcing
-    # fetch — best honest throughput and the most compile-reliable program.
-    # Variant order follows the measured round-2 chained (serial device time)
-    # results on one v5e chip: fused@256 842.7 and fused+pallas@128 842.2
-    # chunks/sec vs base@64 501.8 (fused = upsample folded into the decoder
-    # conv, 8x MXU lanes; pallas = fused attention kernel; fused+pallas@256
-    # OOMs HBM). Base engine and a tiny batch remain as safety nets.
-    ladder = [("simple", 256, "fused"), ("simple", 128, "fused+pallas"),
-              ("simple", 128, "fused"), ("simple", 128, "base"),
-              ("chained", 64, "base"), ("simple", 8, "base")]
-    for mode, b, variant in ladder:
+    fd, out_path = tempfile.mkstemp(prefix="bench_ladder_", suffix=".txt")
+    os.close(fd)
+    for group in range(len(LADDER_GROUPS)):
         try:
-            proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b), variant],
-                                  capture_output=True, text=True, timeout=480)
-            result = 0.0
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    result = float(line.split()[1])
-            if result <= 0:
-                print(f"# {mode} batch {b}: no result (rc={proc.returncode})",
+            proc = subprocess.run(
+                [sys.executable, "-u", here, "--ladder", out_path, str(group)],
+                capture_output=True, text=True, timeout=GROUP_TIMEOUT_S)
+            tail = "\n".join(proc.stderr.splitlines()[-10:])
+            print(tail, file=sys.stderr, flush=True)
+            if proc.returncode != 0:
+                print(f"# ladder group {group} rc={proc.returncode}",
                       file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired as e:
+            print(f"# ladder group {group} timed out; keeping its partial results",
+                  file=sys.stderr, flush=True)
+            if e.stderr:
+                err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode("utf-8", "replace")
+                print("\n".join(err.splitlines()[-10:]), file=sys.stderr, flush=True)
+        if group == 0 and not _parse_ladder_results(out_path):
+            print("# group A produced nothing — transport likely degraded; "
+                  "skipping experimental group B", file=sys.stderr, flush=True)
+            break
+    results = _parse_ladder_results(out_path)
+    try:
+        os.unlink(out_path)
+    except OSError:
+        pass
+
+    if not results:
+        # fallback: small, compile-reliable per-entry subprocesses
+        for mode, b, variant in [("simple", 128, "fused"), ("simple", 128, "base"),
+                                 ("simple", 8, "base")]:
+            try:
+                proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b), variant],
+                                      capture_output=True, text=True, timeout=480)
+                result = 0.0
+                for line in proc.stdout.splitlines():
+                    if line.startswith("RESULT "):
+                        result = float(line.split()[1])
+                if result <= 0:
+                    tail = "; ".join(proc.stderr.splitlines()[-3:])
+                    print(f"# {mode} b={b} [{variant}]: no result (rc={proc.returncode}) "
+                          f"stderr: {tail[:400]}", file=sys.stderr, flush=True)
+                    continue
+            except subprocess.TimeoutExpired:
+                print(f"# {mode} b={b} [{variant}] timed out", file=sys.stderr, flush=True)
                 continue
-        except subprocess.TimeoutExpired:
-            print(f"# {mode} batch {b} timed out", file=sys.stderr, flush=True)
-            continue
-        print(f"# {mode} batch {b} [{variant}]: {result:.1f} chunks/sec",
-              file=sys.stderr, flush=True)
-        if result > best:
-            best, best_b = result, b
-        if best > 0:
+            print(f"# fallback {mode} b={b} [{variant}]: {result:.1f} chunks/sec",
+                  file=sys.stderr, flush=True)
+            results.append((result, mode, b, variant))
             break  # one solid number beats stressing a flaky transport
-    del best_b
+
+    best, best_mode, best_b, best_variant = max(
+        results, default=(0.0, "none", 0, "none"))
     # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
     # on ONE chip; serving is pure data parallelism (batch-sharded, zero
     # cross-chip traffic), so the per-chip share of the target is 5000/8.
@@ -229,11 +366,14 @@ def main():
         "value": round(best, 1),
         "unit": "chunks/sec",
         "vs_baseline": round(best / baseline_per_chip, 4),
+        "mode": best_mode, "batch": best_b, "variant": best_variant,
     }))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+    if len(sys.argv) > 1 and sys.argv[1] == "--ladder":
+        _run_ladder(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 0)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--one":
         _run_one(sys.argv[2], int(sys.argv[3]),
                  sys.argv[4] if len(sys.argv) > 4 else "base")
     else:

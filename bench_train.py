@@ -17,7 +17,7 @@ import numpy as np
 
 
 def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True,
-         remat: bool = False, phase: int = 3):
+         remat: bool = False, phase: int = 3, cached: bool = False):
     import jax
     import jax.numpy as jnp
     from retrieval_fuse_tpu.data.synthetic import generate_synthetic_dataset, make_synthetic_config
@@ -39,9 +39,17 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True,
                           patch_size_target=64, patch_context_target=0, patch_stride=64)
         trainer = RefinementTrainer(cfg, enable_vis=False)
         trainer.set_phase(phase)
-        items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(batch_size)]
-        batch = trainer._device_batch(collate(items, batch_size))
-        step = trainer._train_steps[phase]
+        if cached and phase == 2:
+            # frozen-phase feature cache: x_back / x_target / occ precomputed,
+            # per-step work = attention.get_features + NT-Xent + attention grads
+            citems = trainer._build_phase2_cache()
+            cb = collate([citems[i % len(citems)] for i in range(batch_size)], batch_size)
+            batch = {k: jnp.asarray(v) for k, v in cb.items() if k != "valid"}
+            step = trainer._build_cached_phase2_step()
+        else:
+            items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(batch_size)]
+            batch = trainer._device_batch(collate(items, batch_size))
+            step = trainer._train_steps[phase]
         rng = jax.random.PRNGKey(0)
         lr = jnp.asarray(trainer.base_lr, jnp.float32)
         state, total, _ = step(trainer.state, batch, rng, lr)
@@ -58,16 +66,17 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True,
         print(json.dumps({"metric": "refinement_train_step_throughput_per_chip",
                           "value": round(tput, 1), "unit": "chunks/sec",
                           "mixed_precision": mixed_precision, "remat": remat,
-                          "phase": phase, "batch_size": batch_size}))
+                          "phase": phase, "batch_size": batch_size, "cached": cached}))
         return tput
     finally:
         os.chdir(cwd)
 
 
 if __name__ == "__main__":
-    # bench_train.py [batch] [mp:0|1] [remat:0|1] [phase]
+    # bench_train.py [batch] [mp:0|1] [remat:0|1] [phase] [cached:0|1]
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mp = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
     rm = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     ph = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    main(batch_size=b, mixed_precision=mp, remat=rm, phase=ph)
+    cached = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    main(batch_size=b, mixed_precision=mp, remat=rm, phase=ph, cached=cached)

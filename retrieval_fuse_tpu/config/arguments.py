@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--unet_backbone_decoder_ckpt", type=str, default=None)
     parser.add_argument("--retrieval_backbone_ckpt", type=str, default=None)
     parser.add_argument("--attention_block_ckpt", type=str, default=None)
+    # TPU-build extension (no reference analog): precompute the frozen
+    # subnets' outputs once per phase-2 run instead of re-running them every
+    # step (train/refinement_trainer._build_phase2_cache)
+    parser.add_argument("--frozen_phase_cache", action="store_true")
     return parser
 
 

@@ -29,11 +29,10 @@ def collate(items: list[dict], batch_size: int, valid: int | None = None) -> dic
     if len(items) < batch_size:
         items = items + [items[-1]] * (batch_size - len(items))
     batch = {}
-    for key in _STACK_KEYS:
-        if key in items[0]:
+    for key, v0 in items[0].items():
+        if isinstance(v0, np.ndarray):  # _STACK_KEYS plus any cached-feature keys
             batch[key] = np.stack([it[key] for it in items], axis=0)
-    for key in _LIST_KEYS:
-        if key in items[0]:
+        elif key in _LIST_KEYS:
             batch[key] = [it[key] for it in items]
     batch["valid"] = valid
     return batch

@@ -49,7 +49,8 @@ class RetrieveRefineEngine:
                  patch_bank: jnp.ndarray, mesh=None, compute_dtype=jnp.bfloat16,
                  use_feature_bank: bool = True, feature_bank=None,
                  use_pallas_attention: bool = False,
-                 use_fused_decoder: bool = False):
+                 use_fused_decoder: bool = False,
+                 use_packed_decoder: bool = False):
         """
         params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
                  'patched_attention_block'} param trees.
@@ -70,6 +71,9 @@ class RetrieveRefineEngine:
         use_fused_decoder: fold the decoder's nearest-upsample into its first
                     conv (ops/fused_decoder) — identical math, 8x MXU lane
                     utilization for the pipeline's most expensive conv.
+        use_packed_decoder: additionally run the decoder's second conv and
+                    1x1 head space-to-depth-packed on the 32³ grid (128
+                    channels, full MXU lanes end-to-end; implies fused).
         """
         self.config = config
         self.mesh = mesh
@@ -77,7 +81,11 @@ class RetrieveRefineEngine:
         self.K = config["K"]
         dtr = config["dataset_train"]
         self.tcs = dtr["target_chunk_size"]
-        self.n_fold = self.tcs // 16
+        # target tile geometry: dictionary rows tile the target chunk at the
+        # RETRIEVAL target patch size (16 for every shipped config; derived
+        # from the dictionary at serve time for other geometries)
+        self.t_patch_size = int(config.get("retrieval_patch_size_target", 16))
+        self.n_fold = self.tcs // self.t_patch_size
         # retrieval-geometry: input patches of size ps+2*ctx at stride ps
         rps = config.get("retrieval_patch_size_input", 2)
         rctx = config.get("retrieval_patch_context_input", 1)
@@ -88,7 +96,17 @@ class RetrieveRefineEngine:
         self.decoder = get_decoder(config)
         self.retrieval_backbone = get_retrieval_backbone(config)
         self.attention = get_attention_block(config, deterministic_selection=True)
-        self.use_pallas_attention = use_pallas_attention
+        # use_pallas_attention: False | True (tile kernel over packed patches)
+        # | "gathered" (the kernel gathers bank tiles by top-k index itself —
+        # no XLA gather / pack transpose / fold in HBM at all; DMA-per-tile
+        # grid, measured grid-overhead-bound at flagship shapes)
+        # | "packedrows" (XLA gather of PRE-PACKED bank rows + the flat
+        # kernel in tile-major row order — one cheap K/t³ swap with
+        # 256-byte-contiguous granularity instead of the 12-d nf-granular
+        # pack transpose; the fastest measured variant)
+        self.pallas_gathered = use_pallas_attention == "gathered"
+        self.pallas_packedrows = use_pallas_attention == "packedrows"
+        self.use_pallas_attention = bool(use_pallas_attention)
         if use_pallas_attention:
             # the fused kernel implements the shipped attention variant
             assert config.get("attn_normalize", True) and config.get(
@@ -104,7 +122,10 @@ class RetrieveRefineEngine:
             lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, t)
         self.params = cast(params)
         self.database = jnp.asarray(database, compute_dtype)
-        self.patch_bank = jnp.asarray(patch_bank, compute_dtype)
+        # patch_bank may be None when a feature bank is supplied directly
+        # (serving never touches the raw tiles then)
+        self.patch_bank = (None if patch_bank is None
+                           else jnp.asarray(patch_bank, compute_dtype))
 
         # normalization constants
         self.in_mean = dtr["input_mean"]
@@ -119,10 +140,20 @@ class RetrieveRefineEngine:
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
 
         self.fused_decoder = None
-        if use_fused_decoder:
+        if use_packed_decoder:
+            from retrieval_fuse_tpu.ops.fused_decoder import PackedFinalDecoder
+            self.fused_decoder = PackedFinalDecoder(
+                self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
+        elif use_fused_decoder:
             from retrieval_fuse_tpu.ops.fused_decoder import FusedFinalDecoder
             self.fused_decoder = FusedFinalDecoder(
                 self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
+
+        # diagnostic ablation switches (bench_ablate.py): components named
+        # here are replaced with shape-preserving stand-ins so stage cost can
+        # be attributed by subtraction on hardware where jax.profiler is
+        # unavailable (remote-compile tunnels). Never set in production.
+        self._ablate = frozenset()
 
         self.feature_bank = None
         if feature_bank is not None:
@@ -133,6 +164,13 @@ class RetrieveRefineEngine:
             # raw tiles are not referenced by the feature-bank pipeline;
             # release their HBM (keeps batch headroom for large B)
             self.patch_bank = None
+        if self.pallas_gathered or self.pallas_packedrows:
+            assert self.feature_bank is not None, (
+                "gathered/packedrows pallas attention requires the feature bank")
+            from retrieval_fuse_tpu.ops.pallas_attention import pack_tile_rows
+            # one-time offline repack: bank rows become ready attention-patch
+            # rows; the raw-layout feature bank is no longer needed
+            self.feature_bank = pack_tile_rows(self.feature_bank, self.attn_extent)
         self._fn = jax.jit(self._pipeline)
 
     def _precompute_feature_bank(self, batch: int = 4096) -> jnp.ndarray:
@@ -185,7 +223,16 @@ class RetrieveRefineEngine:
         z = z.reshape(z.shape[0], -1)
         z = z / jnp.maximum(jnp.linalg.norm(z.astype(jnp.float32), axis=1, keepdims=True), 1e-12).astype(cd)
         sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
-        _, top_idx = jax.lax.top_k(sims, self.K)                  # (B·R³, K)
+        if "topk" in self._ablate:   # stand-in: argmax only, broadcast to K
+            top_idx = jnp.broadcast_to(
+                jnp.argmax(sims, axis=1)[:, None], (sims.shape[0], self.K))
+        elif "knn" in self._ablate:  # stand-in: skip matmul+select entirely
+            top_idx = jnp.broadcast_to(
+                jnp.arange(self.K, dtype=jnp.int32)[None, :], (z.shape[0], self.K))
+        else:
+            # identical results to lax.top_k, ~8x cheaper on TPU (ops/knn)
+            from retrieval_fuse_tpu.ops.knn import iterative_topk
+            _, top_idx = iterative_topk(sims, self.K)             # (B·R³, K)
 
         def regroup(volumes):
             # (K·B, S, S, S, C) k-major -> (B·K, ...) k-fastest, matching the
@@ -193,52 +240,167 @@ class RetrieveRefineEngine:
             v = volumes.reshape(self.K, b, *volumes.shape[1:])
             return v.transpose(1, 0, 2, 3, 4, 5).reshape(b * self.K, *volumes.shape[1:])
 
-        if self.feature_bank is not None:
-            # 2a) gather precomputed tile features, fold to feature volumes
-            feats = bank[top_idx]                                 # (B·R³, K, 8,8,8,nf)
-            feats = feats.transpose(1, 0, 2, 3, 4, 5).reshape(
-                self.K * b * r ** 3, *bank.shape[1:])
-            x_retrieval = regroup(fold3d(feats, r, 8))            # (B·K, 32³, nf)
+        attn_patches = None  # (B·R³, K, F) kernel-ready layout (pallas path)
+        if self.feature_bank is not None and (self.pallas_gathered
+                                             or self.pallas_packedrows):
+            # 2a') no gather at all: the attention kernel will DMA bank rows
+            # by top-k index itself (scalar-prefetch index maps)
+            x_retrieval = None
+        elif self.feature_bank is not None:
+            # 2a) gather precomputed tile features
+            if "gather" in self._ablate:  # stand-in: broadcast K fixed rows
+                feats = jnp.broadcast_to(
+                    bank[None, : self.K], (b * r ** 3, self.K) + bank.shape[1:])
+            else:
+                feats = bank[top_idx]                             # (B·R³, K, 8,8,8,nf)
+            if self.use_pallas_attention:
+                # straight to the attention-patch layout in ONE transpose —
+                # the fold->unfold->regroup volume round-trip materialized
+                # several (B·K, 32³, nf)-sized HBM copies for pure layout
+                # work (it OOMed batch 256 in round 2)
+                attn_patches = self._pack_feats_for_attention(feats, b)
+                x_retrieval = None
+            else:
+                feats = feats.transpose(1, 0, 2, 3, 4, 5).reshape(
+                    self.K * b * r ** 3, *bank.shape[1:])
+                x_retrieval = regroup(fold3d(feats, r, 8))        # (B·K, 32³, nf)
         else:
             # 2b) gather raw tiles, compose volumes, re-encode (training path)
-            tiles = bank[top_idx]                                 # (B·R³, K, 16,16,16)
-            tiles = tiles.transpose(1, 0, 2, 3, 4).reshape(self.K * b * r ** 3, 16, 16, 16, 1)
-            volumes = fold3d(tiles, r, 16)                        # (K·B, 64³, 1)
+            tps = self.t_patch_size
+            tiles = bank[top_idx]                                 # (B·R³, K, tps³)
+            tiles = tiles.transpose(1, 0, 2, 3, 4).reshape(self.K * b * r ** 3, tps, tps, tps, 1)
+            volumes = fold3d(tiles, r, tps)                       # (K·B, tcs³, 1)
             retrievals_norm = regroup(
                 ((volumes.astype(jnp.float32) - self.tgt_mean) / self.tgt_std).astype(cd))
-            retr_patches = unfold3d(retrievals_norm, 16)
+            retr_patches = unfold3d(retrievals_norm, tps)
             feats = self.retrieval_backbone.apply({"params": params["retrieval_backbone"]}, retr_patches)
-            x_retrieval = fold3d(feats, r, 8)
+            x_retrieval = fold3d(feats, r, tps // 2)
         # 3) refinement: backbone + attention fusion + decoder
         x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
         x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
-        if self.use_pallas_attention:
-            fused = self._pallas_attention(params, x_back, x_retrieval)
+        if "attention" in self._ablate:  # stand-in: backbone features pass through
+            # tiny data-dependence on the retrieval side keeps XLA from
+            # dead-code-eliminating the whole retrieval branch
+            probe = (attn_patches if attn_patches is not None
+                     else x_retrieval if x_retrieval is not None else top_idx)
+            fused = x_back + (probe.reshape(-1)[0] * 0).astype(cd)
+        elif "attnkernel" in self._ablate:
+            # stand-in: keep the gather/pack/fold LAYOUT work, drop the
+            # attention MLP/selection compute (mean over K is a tiny VPU op)
+            # — splits the attention complex into layout vs kernel cost
+            ap = (attn_patches if attn_patches is not None
+                  else self._pack_volumes_for_attention(x_retrieval))
+            e = self.attn_extent
+            cheap = ap.astype(jnp.float32).mean(axis=1).reshape(-1, e, e, e, self.nf)
+            fused = x_back + 1e-6 * fold3d(cheap, self.attn_num_patch, e).astype(cd)
+        elif self.pallas_packedrows and self.feature_bank is not None:
+            fused = self._pallas_packedrows_attention(params, x_back, bank, top_idx)
+        elif self.pallas_gathered and self.feature_bank is not None:
+            fused = self._pallas_gathered_attention(params, x_back, bank, top_idx)
+        elif self.use_pallas_attention:
+            if attn_patches is None:
+                attn_patches = self._pack_volumes_for_attention(x_retrieval)
+            fused = self._pallas_attention(params, x_back, attn_patches)
         else:
             fused = self.attention.apply({"params": params["patched_attention_block"]},
                                          x_back, x_retrieval)
-        if self.fused_decoder is not None:
+        if "decoder" in self._ablate:  # stand-in: nearest-2x upsample, no convs
+            m = jnp.tanh(fused.mean(axis=-1, keepdims=True))
+            pred = m.repeat(2, axis=1).repeat(2, axis=2).repeat(2, axis=3)
+        elif self.fused_decoder is not None:
             pred = self.fused_decoder(fused)
         else:
             pred = self.decoder.apply({"params": params["decoder"]}, fused)
         # tanh space -> df
         return ((pred.astype(jnp.float32) + 1.0) * self.target_trunc / 2.0)
 
-    def _pallas_attention(self, params, x_back, x_retrieval):
-        """Unfold -> fused Pallas K-way attention -> fold. Mirrors
-        PatchedAttentionBlock.__call__'s patch regrouping exactly
-        (models/attention.py:180-188); selection is the deterministic hard
-        argmax the serving engine uses anyway."""
+    def _pack_feats_for_attention(self, feats, b):
+        """(B·Rin³, K, s, s, s, nf) gathered feature tiles -> (B·R³, K, nf·e³)
+        attention patches in xp row order, ONE transpose. Attention patch
+        (i1,i2,i3) on the 16³ grid lives in fold tile (i//t) at within-tile
+        patch (i%t) with t = s//e patches per tile axis; Rin·t must equal
+        attn_num_patch (true for the shipped geometry: 4 tiles x 4 = 16)."""
+        e, rin, k, nf = self.attn_extent, self.n_fold, self.K, self.nf
+        s = feats.shape[2]
+        t = s // e
+        assert rin * t == self.attn_num_patch, (rin, t, self.attn_num_patch)
+        f = feats.reshape(b, rin, rin, rin, k, t, e, t, e, t, e, nf)
+        f = f.transpose(0, 1, 5, 2, 7, 3, 9, 4, 6, 8, 10, 11)
+        return f.reshape(b * (rin * t) ** 3, k, e ** 3 * nf)
+
+    def _pack_volumes_for_attention(self, x_retrieval):
+        """(B·K, 32³, nf) regrouped retrieval volumes -> (B·R³, K, nf·e³)
+        attention patches. Mirrors PatchedAttentionBlock.__call__'s patch
+        regrouping exactly (models/attention.py:180-188)."""
+        e, r, k, nf = self.attn_extent, self.attn_num_patch, self.K, self.nf
+        pp = unfold3d(x_retrieval, e).reshape(-1, k, r ** 3, e, e, e, nf)
+        return pp.transpose(0, 2, 1, 3, 4, 5, 6).reshape(-1, k, nf * e ** 3)
+
+    def _tile_major_rows(self, x):
+        """(B, S, S, S, nf) feature volume -> (B·Rin³, t³, e³·nf) tile-major
+        attention-patch rows (per spatial axis: S = Rin·t·e). The permutation
+        is an involution, so the same transpose restores the volume."""
+        e, rin, nf = self.attn_extent, self.n_fold, self.nf
+        b, s = x.shape[0], x.shape[1]
+        t = s // rin // e
+        v = x.reshape(b, rin, t, e, rin, t, e, rin, t, e, nf)
+        v = v.transpose(0, 1, 4, 7, 2, 5, 8, 3, 6, 9, 10)
+        return v.reshape(b * rin ** 3, t ** 3, e ** 3 * nf)
+
+    def _rows_to_volume(self, rows, b):
+        e, rin, nf = self.attn_extent, self.n_fold, self.nf
+        t = self.attn_num_patch // rin
+        s = rin * t * e
+        v = rows.reshape(b, rin, rin, rin, t, t, t, e, e, e, nf)
+        v = v.transpose(0, 1, 4, 7, 2, 5, 8, 3, 6, 9, 10)
+        return v.reshape(b, s, s, s, nf)
+
+    def _pallas_packedrows_attention(self, params, x_back, bank_rows, top_idx):
+        """Gather PRE-PACKED bank rows with XLA, swap K/t³ in one
+        256-byte-granular transpose, run the flat attention kernel over
+        tile-major rows. Same math as every other attention path; the
+        DMA-per-tile 'gathered' kernel measured grid-overhead-bound (1.19
+        ms/chunk alone at Q=8192), while this keeps the kernel's 512-row
+        blocks and makes the layout work cheap instead of fused."""
+        import jax as _jax
+        from retrieval_fuse_tpu.ops.pallas_attention import pallas_patch_attention
+        blk = params["patched_attention_block"]["attention_blocks_layer"]
+        q, t_rows, f = top_idx.shape[0], bank_rows.shape[1], bank_rows.shape[2]
+        xt = self._tile_major_rows(x_back)                       # (Q, t³, F)
+        g = bank_rows[top_idx]                                   # (Q, K, t³, F)
+        pp = g.transpose(0, 2, 1, 3).reshape(q * t_rows, self.K, f)
+        fused = pallas_patch_attention(
+            xt.reshape(q * t_rows, f), pp, blk["theta"], blk["phi"], self.K,
+            retrieval_mode=self.attn_retrieval_mode,
+            sharpness=float(32 * self.attn_extent ** 3 * 4),
+            interpret=_jax.default_backend() != "tpu")
+        return self._rows_to_volume(fused.reshape(q, t_rows, f), x_back.shape[0])
+
+    def _pallas_gathered_attention(self, params, x_back, bank_rows, top_idx):
+        """Fused gather+attention: the kernel streams retrieved bank tiles to
+        VMEM by index; x/out stay in one cheap tile-major relayout each."""
+        import jax as _jax
+        from retrieval_fuse_tpu.ops.pallas_attention import pallas_gathered_patch_attention
+        blk = params["patched_attention_block"]["attention_blocks_layer"]
+        xt = self._tile_major_rows(x_back)
+        fused_rows = pallas_gathered_patch_attention(
+            xt, bank_rows, top_idx, blk["theta"], blk["phi"], self.K,
+            retrieval_mode=self.attn_retrieval_mode,
+            sharpness=float(32 * self.attn_extent ** 3 * 4),
+            interpret=_jax.default_backend() != "tpu")
+        return self._rows_to_volume(fused_rows, x_back.shape[0])
+
+    def _pallas_attention(self, params, x_back, attn_patches):
+        """Unfold -> fused Pallas K-way attention -> fold; selection is the
+        deterministic hard argmax the serving engine uses anyway."""
         import jax as _jax
         from retrieval_fuse_tpu.ops.pallas_attention import pallas_patch_attention
         e, r, k, nf = self.attn_extent, self.attn_num_patch, self.K, self.nf
         f = nf * e ** 3
         blk = params["patched_attention_block"]["attention_blocks_layer"]
         xp = unfold3d(x_back, e).reshape(-1, f)
-        pp = unfold3d(x_retrieval, e).reshape(-1, k, r ** 3, e, e, e, nf)
-        pp = pp.transpose(0, 2, 1, 3, 4, 5, 6).reshape(-1, k, f)
         fused = pallas_patch_attention(
-            xp, pp, blk["theta"], blk["phi"], k,
+            xp, attn_patches, blk["theta"], blk["phi"], k,
             retrieval_mode=self.attn_retrieval_mode,
             sharpness=float(32 * e ** 3 * 4),
             interpret=_jax.default_backend() != "tpu")

@@ -79,6 +79,50 @@ def _conv_same(x, kernel):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def pack_conv_kernel_2x(w: np.ndarray) -> np.ndarray:
+    """(3,3,3,Cin,Cout) SAME conv kernel on the 2x grid -> (3,3,3,8·Cin,8·Cout)
+    kernel operating on the space-to-depth-packed half-res grid.
+
+    For output sub-position o∈{0,1}³ and tap k∈{-1,0,1}³ the 2x-grid read
+    2i+o+k lands in packed block o' = (o+k) mod 2 at half-res offset
+    d = (o+k-o')//2 ∈ {-1,0,1}. Each (o,k) maps to exactly one (d,o') slot, so
+    the packed kernel is 1/8-dense — dense conv pays 8x FLOPs but runs with
+    full 128-lane MXU utilization instead of Cout(=nf) lanes at the 2x grid,
+    and the whole decoder tail stays on the 32³ grid (no 64³ intermediates in
+    HBM until the final depth-to-space)."""
+    w = np.asarray(w)
+    c_in, c_out = w.shape[3], w.shape[4]
+    packed = np.zeros((3, 3, 3, 8 * c_in, 8 * c_out), w.dtype)
+    for o in itertools.product((0, 1), repeat=3):
+        o_idx = o[0] * 4 + o[1] * 2 + o[2]
+        for k in itertools.product((-1, 0, 1), repeat=3):
+            y = tuple(oo + kk for oo, kk in zip(o, k))
+            op = tuple(yy % 2 for yy in y)
+            d = tuple((yy - (yy % 2)) // 2 for yy in y)
+            op_idx = op[0] * 4 + op[1] * 2 + op[2]
+            packed[d[0] + 1, d[1] + 1, d[2] + 1,
+                   op_idx * c_in:(op_idx + 1) * c_in,
+                   o_idx * c_out:(o_idx + 1) * c_out] += w[k[0] + 1, k[1] + 1, k[2] + 1]
+    return packed
+
+
+def group_norm_packed(x: jnp.ndarray, scale, bias, num_groups: int, nf: int,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over a space-to-depth-packed (B, S, S, S, 8·nf) tensor with
+    statistics identical to GroupNorm(num_groups) on the unpacked 2x-grid
+    tensor: per group, stats run over (spatial, all 8 sub-voxel blocks,
+    channels in group)."""
+    b = x.shape[0]
+    g = num_groups if (nf >= num_groups and nf % num_groups == 0) else 1
+    xg = x.reshape(b, -1, 8, g, nf // g).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    scale8 = jnp.tile(jnp.asarray(scale), 8)
+    bias8 = jnp.tile(jnp.asarray(bias), 8)
+    return (xn * scale8 + bias8).astype(x.dtype)
+
+
 class FusedFinalDecoder:
     """Drop-in serving replacement for Superresolution08FinalDecoder.apply
     (layer_order 'gcr'): GN -> fused upsample-conv (128 lanes) -> ReLU -> d2s
@@ -110,3 +154,36 @@ class FusedFinalDecoder:
             h, self.w_final.astype(h.dtype), (1, 1, 1), "VALID", dimension_numbers=_DN,
             preferred_element_type=jnp.float32) + self.b_final.astype(jnp.float32)
         return jnp.tanh(out)
+
+
+class PackedFinalDecoder(FusedFinalDecoder):
+    """Serving decoder that never leaves the 32³ grid: the second 3³ conv and
+    the 1x1 head run on the space-to-depth-packed representation (8·nf=128
+    channels — full MXU lanes throughout), with ONE depth-to-space reshape at
+    the very end. Math-identical to Superresolution08FinalDecoder / the flax
+    decoder (pinned by tests/test_fused_decoder.py): GN1 -> fused
+    upsample-conv -> ReLU -> packed GN2 -> packed conv -> ReLU -> packed 1x1
+    head -> tanh -> depth-to-space."""
+
+    def __init__(self, decoder_params: dict, nf: int, dtype=jnp.float32):
+        super().__init__(decoder_params, nf, dtype)
+        self.w2_packed = jnp.asarray(
+            pack_conv_kernel_2x(np.asarray(decoder_params["up0"]["basic_module"]
+                                           ["SingleConv2"]["conv"]["kernel"])), dtype)
+        wf = np.asarray(decoder_params["final_conv"]["kernel"])  # (1,1,1,nf,1)
+        wf_packed = np.zeros((1, 1, 1, 8 * nf, 8), wf.dtype)
+        for o_idx in range(8):
+            wf_packed[0, 0, 0, o_idx * nf:(o_idx + 1) * nf, o_idx] = wf[0, 0, 0, :, 0]
+        self.wf_packed = jnp.asarray(wf_packed, dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = group_norm(x, *self.gn1, self.num_groups)
+        h = _conv_same(h, self.w1_fused)                 # (B, S³, 8·nf)
+        h = jax.nn.relu(h)
+        h = group_norm_packed(h, *self.gn2, self.num_groups, self.nf)
+        h = jax.nn.relu(_conv_same(h, self.w2_packed))   # (B, S³, 8·nf)
+        out = jax.lax.conv_general_dilated(
+            h, self.wf_packed.astype(h.dtype), (1, 1, 1), "VALID",
+            dimension_numbers=_DN, preferred_element_type=jnp.float32
+        ) + self.b_final.astype(jnp.float32)             # (B, S³, 8)
+        return depth_to_space_2x(jnp.tanh(out), 1)

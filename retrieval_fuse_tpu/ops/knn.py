@@ -22,6 +22,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def iterative_topk(sims: jnp.ndarray, k: int):
+    """Exact top-k over the last axis via k rounds of max+mask.
+
+    lax.top_k lowers to a sort-flavored op on TPU that costs ~8x the score
+    matmul itself at serving shapes (measured r3: 0.080 of 0.895 ms/chunk at
+    N=27k, k=4); k passes of a VPU max-reduce + one-hot mask stream the
+    matrix k times instead. Tie-breaking matches lax.top_k (equal values
+    selected in ascending index order), so results are identical."""
+    n = sims.shape[-1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, sims.ndim - 1)
+    s = sims
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        sel = jnp.min(jnp.where(s == m, ids, n), axis=-1, keepdims=True)
+        vals.append(m)
+        idxs.append(sel)
+        s = jnp.where(ids == sel, -jnp.inf, s)
+    return jnp.concatenate(vals, axis=-1), jnp.concatenate(idxs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int):
     """Top-k nearest rows of `database` for each query (both L2-normalized).
 

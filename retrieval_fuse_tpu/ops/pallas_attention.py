@@ -28,11 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mlp(x, w):
-    """x (T, F) through fc0..fc2 (LeakyReLU 0.01) + out -> (T, C)."""
+    """x (T, F) through fc0..fc2 (LeakyReLU 0.01) + out -> (T, C) f32.
+
+    GEMMs run in the INPUT dtype (bf16 on the serving path — full MXU rate)
+    with f32 accumulation; the activation nonlinearity runs in f32 and is
+    downcast back so every MXU pass stays narrow. On f32 inputs (CPU parity
+    tests) this is exact f32 throughout."""
+    dt = x.dtype
     for i in range(3):
-        x = jnp.dot(x, w[f"fc{i}"]["kernel"], preferred_element_type=jnp.float32) + w[f"fc{i}"]["bias"]
-        x = jnp.where(x >= 0, x, 0.01 * x)
-    return jnp.dot(x, w["out"]["kernel"], preferred_element_type=jnp.float32) + w["out"]["bias"]
+        h = jnp.dot(x, w[f"fc{i}"]["kernel"].astype(dt),
+                    preferred_element_type=jnp.float32) + w[f"fc{i}"]["bias"]
+        x = jnp.where(h >= 0, h, 0.01 * h).astype(dt)
+    return jnp.dot(x, w["out"]["kernel"].astype(dt),
+                   preferred_element_type=jnp.float32) + w["out"]["bias"]
 
 
 def _attention_kernel(x_ref, p_ref,
@@ -50,18 +58,17 @@ def _attention_kernel(x_ref, p_ref,
     p = p_ref[:]                                   # (T, K·F) K-major per row
     t, f = x.shape
 
-    x_feat = _mlp(x.astype(jnp.float32), theta)    # (T, C)
+    x_feat = _mlp(x, theta)                        # (T, C) f32
     x_feat = x_feat / jnp.maximum(
         jnp.sqrt(jnp.sum(x_feat * x_feat, axis=1, keepdims=True)), 1e-12)
 
-    # per-candidate scores; K is small and static — unrolled
-    scores = []
-    for k in range(K):
-        pk = p[:, k * f:(k + 1) * f].astype(jnp.float32)
-        pf = _mlp(pk, phi)
-        pf = pf / jnp.maximum(jnp.sqrt(jnp.sum(pf * pf, axis=1, keepdims=True)), 1e-12)
-        scores.append(jnp.sum(x_feat * pf, axis=1, keepdims=True))
-    s = jnp.concatenate(scores, axis=1)            # (T, K)
+    # ALL K candidates through phi in ONE GEMM chain: (T, K·F) rows are
+    # K-major, so a free reshape gives (T·K, F) in (t, k) row order —
+    # K x bigger MXU tiles than a per-candidate loop
+    pf = _mlp(p.reshape(t * K, f), phi)            # (T·K, C) f32
+    pf = pf / jnp.maximum(jnp.sqrt(jnp.sum(pf * pf, axis=1, keepdims=True)), 1e-12)
+    pf = pf.reshape(t, K, -1)
+    s = jnp.sum(x_feat[:, None, :] * pf, axis=2)   # (T, K)
 
     switch = jnp.maximum(jnp.max(s, axis=1, keepdims=True), 0.0)
     if hard:
@@ -70,9 +77,8 @@ def _attention_kernel(x_ref, p_ref,
     else:
         weights = jax.nn.softmax(sharpness * s, axis=1)
 
-    weighted = jnp.zeros((t, f), jnp.float32)
-    for k in range(K):
-        weighted = weighted + weights[:, k:k + 1] * p[:, k * f:(k + 1) * f].astype(jnp.float32)
+    pr = p.reshape(t, K, f).astype(jnp.float32)
+    weighted = jnp.sum(weights[:, :, None] * pr, axis=1)  # (T, F)
 
     out_ref[:] = (x.astype(jnp.float32) * (1.0 - switch) + weighted * switch).astype(out_ref.dtype)
 
@@ -120,3 +126,105 @@ def pallas_patch_attention(x_patches: jnp.ndarray, p_patches: jnp.ndarray,
         interpret=interpret,
     )(x_patches, p_flat, *w)
     return out[:n]
+
+
+# --------------------------------------------------------------------------
+# Fused-gather variant: the kernel DMAs retrieved bank tiles directly by
+# top-k index (scalar prefetch), so the XLA gather of (B·R³, K, tile) feats,
+# the pack transpose, and the fold3d round-trip never touch HBM. Measured r3
+# attribution: that layout work was ~35% of total serving time — the single
+# largest cost in the pipeline.
+
+
+def pack_tile_rows(tile_feats: jnp.ndarray, e: int) -> jnp.ndarray:
+    """(N, s, s, s, nf) feature tiles -> (N, (s//e)³, e³·nf) patch-major rows.
+
+    Run ONCE offline on the feature bank; bank row n then holds its tile's
+    attention patches as ready-to-use kernel rows."""
+    n, s, _, _, nf = tile_feats.shape
+    t = s // e
+    v = tile_feats.reshape(n, t, e, t, e, t, e, nf)
+    v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return v.reshape(n, t ** 3, e ** 3 * nf)
+
+
+def _gathered_kernel(idx_ref, x_ref, *refs, K: int, sharpness: float,
+                     hard: bool, scale: float):
+    del idx_ref  # consumed by the BlockSpec index maps
+    p_refs = refs[:K]
+    wr = refs[K:K + 16]
+    out_ref = refs[-1]
+    theta = {f"fc{i}": {"kernel": wr[2 * i][:], "bias": wr[2 * i + 1][:]} for i in range(3)}
+    theta["out"] = {"kernel": wr[6][:], "bias": wr[7][:]}
+    phi = {f"fc{i}": {"kernel": wr[8 + 2 * i][:], "bias": wr[9 + 2 * i][:]} for i in range(3)}
+    phi["out"] = {"kernel": wr[14][:], "bias": wr[15][:]}
+
+    x = x_ref[0]                                     # (T, F)
+    t, f = x.shape
+    p = jnp.concatenate([p_refs[k][0] for k in range(K)], axis=0)  # (K·T, F) k-major
+
+    x_feat = _mlp(x, theta)                          # (T, C) f32
+    x_feat = x_feat / jnp.maximum(
+        jnp.sqrt(jnp.sum(x_feat * x_feat, axis=1, keepdims=True)), 1e-12)
+    pf = _mlp(p, phi)                                # (K·T, C) f32
+    pf = pf / jnp.maximum(jnp.sqrt(jnp.sum(pf * pf, axis=1, keepdims=True)), 1e-12)
+    pf = pf.reshape(K, t, -1)
+    s = jnp.sum(x_feat[None, :, :] * pf, axis=2).T   # (T, K)
+
+    switch = jnp.maximum(jnp.max(s, axis=1, keepdims=True), 0.0)
+    if hard:
+        sel = jnp.argmax(s * scale, axis=1)
+        weights = jax.nn.one_hot(sel, K, dtype=jnp.float32)
+    else:
+        weights = jax.nn.softmax(sharpness * s, axis=1)
+
+    pr = p.reshape(K, t, f).astype(jnp.float32)
+    weighted = jnp.sum(weights.T[:, :, None] * pr, axis=0)         # (T, F)
+    out_ref[0] = (x.astype(jnp.float32) * (1.0 - switch) + weighted * switch
+                  ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "retrieval_mode", "sharpness", "interpret"))
+def pallas_gathered_patch_attention(xt: jnp.ndarray, bank_rows: jnp.ndarray,
+                                    top_idx: jnp.ndarray,
+                                    theta_params: dict, phi_params: dict, K: int,
+                                    retrieval_mode: bool = True,
+                                    sharpness: float = 1024.0,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """xt: (Q, T, F) tile-major backbone patch rows (Q tiles of T patches);
+    bank_rows: (N, T, F) pre-packed bank tiles (pack_tile_rows); top_idx:
+    (Q, K) int32 bank rows per tile. Returns fused rows (Q, T, F).
+
+    Grid = one step per tile; each step DMAs its K retrieved tiles straight
+    from HBM by index (PrefetchScalarGridSpec index maps) — the gather IS
+    the kernel's input pipeline."""
+    q, t_rows, f = xt.shape
+
+    w = []
+    for params in (theta_params, phi_params):
+        for layer in ("fc0", "fc1", "fc2", "out"):
+            w.append(jnp.asarray(params[layer]["kernel"], jnp.float32))
+            w.append(jnp.asarray(params[layer]["bias"], jnp.float32))
+
+    # the prefetch operand lives in SMEM and its LAST axis is lane-padded to
+    # 128 — a (Q, K) layout padded to (Q, 128) is 4 MB at flagship Q=8192 and
+    # exceeds the 1 MB SMEM budget (measured: exactly the remote-compile
+    # failure r3 first hit). Flattened 1-D it is Q·K·4 B = 128 KB.
+    idx_flat = top_idx.astype(jnp.int32).reshape(q * K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q,),
+        in_specs=[pl.BlockSpec((1, t_rows, f), lambda i, idx_ref: (i, 0, 0))]
+        + [pl.BlockSpec((1, t_rows, f),
+                        (lambda i, idx_ref, k=k: (idx_ref[i * K + k], 0, 0)))
+           for k in range(K)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_specs=pl.BlockSpec((1, t_rows, f), lambda i, idx_ref: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gathered_kernel, K=K, sharpness=sharpness,
+                          hard=retrieval_mode, scale=25.0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, t_rows, f), xt.dtype),
+        interpret=interpret,
+    )(idx_flat, xt, *([bank_rows] * K), *w)

@@ -47,13 +47,14 @@ def _topk_by_iteration(vals: jnp.ndarray, ids: jnp.ndarray, k: int):
 
 
 def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
-    t = pl.program_id(0)
+    t = pl.program_id(1)  # database-tile step (minor grid dim — consecutive
+    # steps share the query block, so the out refs accumulate a running top-k)
 
-    sims = jnp.dot(q_ref[:], db_ref[:].T, preferred_element_type=jnp.float32)  # (Q, tile_n)
+    sims = jnp.dot(q_ref[:], db_ref[:].T, preferred_element_type=jnp.float32)  # (Qt, tile_n)
     base = t * tile_n
     col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, dimension=1) + base
 
-    tile_vals, tile_idx = _topk_by_iteration(sims, col_ids, k)      # (Q, k)
+    tile_vals, tile_idx = _topk_by_iteration(sims, col_ids, k)      # (Qt, k)
 
     @pl.when(t == 0)
     def _():
@@ -62,22 +63,28 @@ def _knn_kernel(q_ref, db_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
 
     @pl.when(t > 0)
     def _():
-        cand_vals = jnp.concatenate([vals_ref[:], tile_vals], axis=1)   # (Q, 2k)
+        cand_vals = jnp.concatenate([vals_ref[:], tile_vals], axis=1)   # (Qt, 2k)
         cand_idx = jnp.concatenate([idx_ref[:], tile_idx], axis=1)
         merged_vals, merged_idx = _topk_by_iteration(cand_vals, cand_idx, k)
         vals_ref[:] = merged_vals
         idx_ref[:] = merged_idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "tile_q", "interpret"))
 def pallas_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
-                     tile_n: int = 2048, interpret: bool = False):
+                     tile_n: int = 2048, tile_q: int = 512,
+                     interpret: bool = False):
     """Streaming top-k cosine search.
 
     queries: (Q, D) L2-normalized; database: (N, D) L2-normalized.
     Returns (indices (Q, k) int32, sq_dists (Q, k) f32) like ops/knn.exact_knn.
     N is padded to a tile multiple with -inf-scoring rows.
-    """
+
+    Queries are blocked too (grid = (Q/tile_q, N/tile_n), database minor):
+    the per-step score matrix is (tile_q, tile_n) f32 = 4 MB at the defaults —
+    an unblocked 4096-query step allocated a 63 MB scoped-VMEM stack and the
+    TPU compiler rejects anything over 16 MB (measured r3; this was the
+    remote-compile 'HTTP 500' on this kernel in r2)."""
     q, d = queries.shape
     n = database.shape[0]
     pad = (-n) % tile_n
@@ -86,6 +93,11 @@ def pallas_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
             [database, jnp.zeros((pad, d), database.dtype)], axis=0)
     n_padded = database.shape[0]
     n_tiles = n_padded // tile_n
+    pad_q = (-q) % tile_q
+    if pad_q:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((pad_q, d), queries.dtype)], axis=0)
+    q_padded = queries.shape[0]
 
     # mask padding rows by appending a -2 "similarity floor" column trick:
     # instead, mask after the fact — padded rows are all-zero so their cosine
@@ -100,24 +112,24 @@ def pallas_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
         d += 1
 
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+        grid=(q_padded // tile_q, n_tiles),
         in_specs=[
-            pl.BlockSpec((q, d), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, d), lambda qt, t: (qt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda qt, t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda qt, t: (qt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda qt, t: (qt, 0), memory_space=pltpu.VMEM),
         ],
     )
     vals, idx = pl.pallas_call(
         functools.partial(_knn_kernel, k=k, tile_n=tile_n),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((q, k), jnp.float32),
-            jax.ShapeDtypeStruct((q, k), jnp.int32),
+            jax.ShapeDtypeStruct((q_padded, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_padded, k), jnp.int32),
         ],
         interpret=interpret,
     )(queries.astype(jnp.float32), database.astype(jnp.float32))
-    sq_dists = jnp.maximum(2.0 - 2.0 * vals, 0.0)
-    return idx, sq_dists
+    sq_dists = jnp.maximum(2.0 - 2.0 * vals[:q], 0.0)
+    return idx[:q], sq_dists

@@ -33,21 +33,31 @@ from retrieval_fuse_tpu.train.checkpoint import load_checkpoint
 from retrieval_fuse_tpu.utils.misc import get_tree_path
 
 
+def dictionary_patch_size(database: np.ndarray) -> int:
+    """The target patch size the dictionary was built with, from any row's
+    stored extent (rows carry unpadded [x0,x1,...] coordinates; the zero-patch
+    sentinel row stores [0, patch_size] too — util/retrieval.py:21-26)."""
+    if database.shape[0] == 0:
+        raise ValueError("empty dictionary database")
+    return int(database[0, 2] - database[0, 1])
+
+
 def build_patch_bank_from_database(database: np.ndarray, scene_list, dataset_train,
-                                   patch_size: int = 16) -> np.ndarray:
-    """(N_rows, 16³) raw df tiles row-aligned with the dictionary database:
+                                   patch_size: int | None = None) -> np.ndarray:
+    """(N_rows, ps³) raw df tiles row-aligned with the dictionary database:
     row i crops the unpadded train scene by the row's stored extent; the
     zero-patch sentinel row (scene_idx -1) becomes a trunc-filled tile (what
-    the compose stage pastes for it, util/retrieval.py:160-163)."""
+    the compose stage pastes for it, util/retrieval.py:160-163). `patch_size`
+    defaults to the dictionary's own geometry."""
     n = database.shape[0]
-    if n:
-        db_ps = int(database[0, 2] - database[0, 1])
-        if db_ps != patch_size:
-            raise ValueError(
-                f"dictionary was built with {db_ps}³ target patches; the serving "
-                f"engine folds {patch_size}³ tiles — build the map with the "
-                f"RETRIEVAL patch geometry (patch_size_target={patch_size}), not "
-                f"the refinement chunk geometry")
+    db_ps = dictionary_patch_size(database)
+    patch_size = db_ps if patch_size is None else patch_size
+    if db_ps != patch_size:
+        raise ValueError(
+            f"dictionary was built with {db_ps}³ target patches; the serving "
+            f"engine folds {patch_size}³ tiles — build the map with the "
+            f"RETRIEVAL patch geometry (patch_size_target={patch_size}), not "
+            f"the refinement chunk geometry")
     bank = np.empty((n, patch_size, patch_size, patch_size), np.float32)
     cache: dict = {}
     trunc = float(dataset_train.scene_handler.target_trunc)
@@ -63,13 +73,71 @@ def build_patch_bank_from_database(database: np.ndarray, scene_list, dataset_tra
     return bank
 
 
+def verify_bank_database_alignment(config: dict, fenc_target_params, database: np.ndarray,
+                                   scene_list, dataset_train, n_sample: int = 8,
+                                   min_cos: float = 0.999) -> float:
+    """Guard against silently serving wrong patches: re-embed a sample of
+    bank-source target patches through the TARGET encoder and require cosine
+    ≈ 1 against their stored database rows. Catches a dictionary built from
+    different scene data/ordering/normalization than the serving config sees
+    (the bank is cropped by row extents, so any drift in the underlying
+    scenes desynchronizes rows from embeddings without shape errors).
+    Returns the minimum cosine over the sample; raises on violation."""
+    from retrieval_fuse_tpu.models import get_retrieval_networks
+
+    rm = config["retrieval_model"]
+    _, fenc_target = get_retrieval_networks(rm)
+    ps, ctx = (int(v) for v in rm["network_target"].replace("pc_", "").split("+"))
+    dtr = config["dataset_train"]
+    t_mean = config.get("retrieval_norm", {}).get("target_mean", dtr["target_mean"])
+    t_std = config.get("retrieval_norm", {}).get("target_std", dtr["target_std"])
+    trunc = float(dataset_train.scene_handler.target_trunc)
+
+    real_rows = np.flatnonzero(database[:, 0] >= 0)
+    if real_rows.size == 0:
+        return 1.0
+    sample = real_rows[np.linspace(0, real_rows.size - 1,
+                                   min(n_sample, real_rows.size)).astype(int)]
+    patches, rows = [], []
+    for i in sample:
+        scene = scene_list[int(database[i, 0])]
+        vol = np.pad(dataset_train.get_scene_target(scene).astype(np.float32),
+                     ctx, constant_values=trunc)
+        x0, x1, y0, y1, z0, z1 = database[i, 1:7].astype(np.int64)
+        # stored extents are unpadded; in the padded volume the patch spans
+        # [x0, x1 + 2*ctx) (the dataset slices padded scenes the same way)
+        patch = vol[x0: x1 + 2 * ctx, y0: y1 + 2 * ctx, z0: z1 + 2 * ctx]
+        if patch.shape != (ps + 2 * ctx,) * 3:
+            raise ValueError(
+                f"bank/database geometry mismatch at row {i}: patch {patch.shape} "
+                f"vs encoder input {(ps + 2 * ctx,) * 3}")
+        patches.append((patch - t_mean) / t_std)
+        rows.append(database[i, 7:])
+    import jax.numpy as jnp
+    x = jnp.asarray(np.stack(patches)[..., None], jnp.float32)
+    z = np.asarray(fenc_target.apply({"params": fenc_target_params}, x))
+    z = z.reshape(z.shape[0], -1)
+    z = z / np.maximum(np.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+    cos = np.sum(z * np.stack(rows), axis=1)
+    worst = float(cos.min())
+    if worst < min_cos:
+        raise ValueError(
+            f"serve-time bank/database row alignment check FAILED: re-embedded "
+            f"target patches disagree with their database rows (min cosine "
+            f"{worst:.4f} < {min_cos}); the dictionary was built from different "
+            f"scene data, ordering, or normalization than this serving config")
+    return worst
+
+
 def build_engine_from_artifacts(config: dict, retrieval_ckpt, refinement_ckpt,
                                 compute_dtype=None, mesh=None,
                                 use_fused_decoder: bool = False,
-                                use_pallas_attention: bool = False):
+                                use_pallas_attention: bool = False,
+                                verify_alignment: bool = True):
     """Engine from on-disk artifacts: dictionary database (tree path derived
     from config+retrieval_ckpt like the compose CLI) + train scenes (bank) +
-    the two checkpoints."""
+    the two checkpoints. `verify_alignment` re-embeds a bank sample against
+    the database rows before serving (fail-loud on artifact drift)."""
     import jax.numpy as jnp
     from retrieval_fuse_tpu.inference import RetrieveRefineEngine
 
@@ -79,13 +147,18 @@ def build_engine_from_artifacts(config: dict, retrieval_ckpt, refinement_ckpt,
     tree_path = get_tree_path(config)
     database = np.load(Path(tree_path) / "database.npy")
     scene_list = json.loads((Path(tree_path) / "index.json").read_text())
+    config["retrieval_patch_size_target"] = dictionary_patch_size(database)
 
     sh_train = SceneHandler("train", config)
     ds_train = PatchedSceneDataset("train", config["dataset_train"], sh_train)
     bank = build_patch_bank_from_database(database, scene_list, ds_train)
 
+    retrieval_params = load_checkpoint(retrieval_ckpt)["params"]
     params = dict(load_checkpoint(refinement_ckpt)["params"])
-    params["fenc_input"] = load_checkpoint(retrieval_ckpt)["params"]["fenc_input"]
+    params["fenc_input"] = retrieval_params["fenc_input"]
+    if verify_alignment:
+        verify_bank_database_alignment(config, retrieval_params["fenc_target"],
+                                       database, scene_list, ds_train)
 
     # the retrieval patch encoder saw retrieval-config normalization; serving
     # configs may carry it under `retrieval_norm` (defaults to dataset_train's)

@@ -409,6 +409,65 @@ class RefinementTrainer:
             return TrainState(new_params, new_opt, state.step + 1), total, aux
         return jax.jit(step, donate_argnums=(0,))
 
+    # -------------------------------------------------- frozen-phase cache
+    #
+    # In phase 2 ONLY the attention block trains; the U-Net backbone, the
+    # decoder (occupancy gate), and the retrieval-backbone target encodes are
+    # all frozen, yet the reference recomputes them every step
+    # (trainer/train_refinement.py:101-106). Precomputing them once per phase
+    # turns the phase-2 step into gather -> attention.get_features -> NT-Xent,
+    # cutting ~all of the step's conv FLOPs. Enabled via config
+    # `frozen_phase_cache` (off by default for exact reference-path parity).
+
+    def _build_phase2_cache(self, dtype=np.float32):
+        """One frozen forward over the train set -> per-item cached
+        {x_back (32³, nf), x_target (32³, nf), occ}; returns a dataset-like
+        list of dicts for batch_iterator."""
+        @jax.jit
+        def frozen(params, batch):
+            x_ = self._apply(params, "unet_backbone", batch["input"])
+            x_target = self._encode_shape_volumes(params, batch["target"])
+            pred_shape_ = self._apply(params, "decoder", x_)
+            occ = self.occupancy_from_prediction(self.network_pred_to_df(pred_shape_))
+            return x_, x_target, occ
+
+        items = []
+        for batch in batch_iterator(self.train_dataset, self.batch_size, shuffle=False):
+            db = {k: jnp.asarray(batch[k]) for k in ("input", "target")}
+            x_back, x_target, occ = frozen(self.state.params, db)
+            v = batch["valid"]
+            xb, xt, oc = (np.asarray(x_back)[:v].astype(dtype),
+                          np.asarray(x_target)[:v].astype(dtype), np.asarray(occ)[:v])
+            for i in range(v):
+                items.append({"x_back": xb[i], "x_target": xt[i], "occ": oc[i]})
+        return items
+
+    def _build_cached_phase2_step(self):
+        tx = self._tx_by_phase[2]
+
+        def loss_fn(p, cb):
+            if self.mixed_precision:
+                cast = lambda x: (x.astype(jnp.bfloat16)
+                                  if jnp.issubdtype(x.dtype, jnp.floating) else x)
+                p = jax.tree_util.tree_map(cast, p)
+                cb = {k: cast(v) for k, v in cb.items()}
+            fpred, ftgt, occ_attn = self._attn_get_features(
+                p, cb["x_back"], cb["x_target"], cb["occ"])
+            total = self.compute_sliced_attn_nt_xent_loss(
+                cb["x_back"].shape[0] * 8, fpred, ftgt, occ_attn)
+            return total.astype(jnp.float32)
+
+        def step(state: TrainState, cbatch, rng, lr):
+            del rng
+            total, grads = jax.value_and_grad(loss_fn)(state.params, cbatch)
+            if self.mixed_precision:
+                grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            updates = sched.scale_updates_by_lr(updates, lr)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_opt, state.step + 1), total, {"contrastive": total}
+        return jax.jit(step, donate_argnums=(0,))
+
     # ------------------------------------------------------------------ loops
 
     def _device_batch(self, batch, with_retrieval=True):
@@ -418,6 +477,13 @@ class RefinementTrainer:
         contributes only its own rows; single-process: sharded device_put)."""
         keys = ["input", "target"] + (["retrieval"] if with_retrieval else [])
         db = {k: batch[k] for k in keys}
+        if self.mesh is not None:
+            from retrieval_fuse_tpu.parallel.mesh import make_global_batch
+            return make_global_batch(db, self.mesh)
+        return {k: jnp.asarray(v) for k, v in db.items()}
+
+    def _cached_device_batch(self, batch):
+        db = {k: batch[k] for k in ("x_back", "x_target", "occ")}
         if self.mesh is not None:
             from retrieval_fuse_tpu.parallel.mesh import make_global_batch
             return make_global_batch(db, self.mesh)
@@ -435,17 +501,25 @@ class RefinementTrainer:
         logger = logger or MetricsLogger(self.config["experiment"])
         run_dir = Path("runs") / self.config["experiment"]
         rng = jax.random.PRNGKey(self.config.get("seed", 0) or 0)
-        step_fn = self._train_steps[self.phase]
+        use_cache = self.phase == 2 and bool(self.config.get("frozen_phase_cache"))
+        if use_cache:
+            train_source = self._build_phase2_cache()
+            step_fn = self._build_cached_phase2_step()
+        else:
+            train_source = self.train_dataset
+            step_fn = self._train_steps[self.phase]
         for epoch in range(max_epochs):
             n = 0
             total = aux = None
-            for batch in batch_iterator(self.train_dataset, self.batch_size, shuffle=True,
+            for batch in batch_iterator(train_source, self.batch_size, shuffle=True,
                                         drop_last=True, seed=epoch,
                                         process_index=jax.process_index(),
                                         process_count=jax.process_count()):
                 lr = self._current_lr(epoch)
                 rng, k = jax.random.split(rng)
-                self.state, total, aux = step_fn(self.state, self._device_batch(batch), k,
+                db = (self._cached_device_batch(batch) if use_cache
+                      else self._device_batch(batch))
+                self.state, total, aux = step_fn(self.state, db, k,
                                                  jnp.asarray(lr, jnp.float32))
                 self.global_step += 1
                 n += 1
@@ -477,9 +551,39 @@ class RefinementTrainer:
         n_batches = -(-n_items // self.batch_size)
         return max(1, int(n_batches * pct))
 
+    @staticmethod
+    def _host_rows(arr) -> np.ndarray:
+        """This process's rows of a (possibly multi-host-sharded) array as
+        numpy. np.asarray on a global array with non-addressable shards
+        raises; batch rows were assembled host-major
+        (make_array_from_process_local_data), so the addressable shards,
+        ordered by batch offset, ARE this host's rows."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        return np.asarray(arr)
+
+    @staticmethod
+    def _merge_metrics_across_hosts(metrics):
+        """Sum each metric's (value_sum, total) over processes — the
+        torchmetrics dist_reduce_fx="sum" analog for the host-side metric
+        loop. No-op single-process."""
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+        state = np.array([[m.value_sum, m.total] for m in metrics], np.float64)
+        summed = np.asarray(multihost_utils.process_allgather(state)).sum(axis=0)
+        for m, (vs, tot) in zip(metrics, summed):
+            m.value_sum, m.total = float(vs), float(tot)
+
     def validate(self, logger=None, max_batches: int | None = None):
         """Rough-metric suite over val + train_eval for fused pred and 1-NN
-        retrieval, with a tabulate summary (ref :122-151)."""
+        retrieval, with a tabulate summary (ref :122-151). Multi-process: the
+        val iterator is process-sharded like the train loop, per-host metric
+        updates run on host-local rows, and metric states are summed across
+        processes before compute (scalar losses come out of the jitted step
+        replicated, so they're already identical on every host)."""
         from tabulate import tabulate
         metric_sets = {}
         rng = jax.random.PRNGKey(11)
@@ -489,7 +593,10 @@ class RefinementTrainer:
             metrics_nn1 = [IoU(), Chamfer3D(), Precision(), Recall()]
             loss_sums = {}
             n_loss = 0
-            for bi, batch in enumerate(batch_iterator(ds, self.batch_size, shuffle=False)):
+            for bi, batch in enumerate(batch_iterator(
+                    ds, self.batch_size, shuffle=False,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())):
                 if ds_limit and bi >= ds_limit:
                     break
                 db = self._device_batch(batch)
@@ -502,14 +609,16 @@ class RefinementTrainer:
                     loss_sums[lk] = loss_sums.get(lk, 0.0) + float(lv)
                 n_loss += 1
                 thr = self._cfg["target_voxel_size"] * 0.75
-                pred_df = self.network_pred_to_df(np.asarray(pred_shape))
-                target_occ = np.asarray(self.denormalize_target(db["target"])) <= thr
-                nn1 = np.asarray(self.denormalize_target(db["retrieval"][:, :1]))
+                pred_df = self.network_pred_to_df(self._host_rows(pred_shape))
+                target_occ = self.denormalize_target(self._host_rows(db["target"])) <= thr
+                nn1 = self.denormalize_target(self._host_rows(db["retrieval"])[:, :1])
                 nn1_occ = np.transpose(nn1 <= thr, (0, 2, 3, 4, 1))
                 for m in metrics_fuse:
                     m.update(pred_df <= thr, target_occ, n_valid=batch["valid"])
                 for m in metrics_nn1:
                     m.update(nn1_occ, target_occ, n_valid=batch["valid"])
+            self._merge_metrics_across_hosts(metrics_fuse)
+            self._merge_metrics_across_hosts(metrics_nn1)
             metric_sets[f"{split_key}_fuse"] = metrics_fuse
             metric_sets[f"{split_key}_nn1"] = metrics_nn1
             if logger and n_loss:
@@ -536,12 +645,19 @@ class RefinementTrainer:
 
     def run_visualization(self, out_tag: str = "val"):
         """Vis-inference loop: forward_full over the vis split, stitch chunks,
-        dump gt/fuse/input meshes (ref :152-173)."""
+        dump gt/fuse/input meshes (ref :152-173). Multi-process: process 0
+        only, on process-local device batches (a single-host jit
+        specialization — no collectives, so the other processes need not
+        participate; mirrors the reference's LOCAL_RANK 0 gate, ref :148)."""
+        multiproc = jax.process_count() > 1
+        if multiproc and jax.process_index() != 0:
+            return None
         ds = self.dataset(f"{out_tag}_vis")
         rng = jax.random.PRNGKey(3)
         pred_shapes = []
         for batch in batch_iterator(ds, self.batch_size, shuffle=False):
-            db = self._device_batch(batch)
+            db = ({k: jnp.asarray(batch[k]) for k in ("input", "target", "retrieval")}
+                  if multiproc else self._device_batch(batch))
             rng, k = jax.random.split(rng)
             pred_shape, *_ = self._val_forward(self.state.params, db, k)
             pred_df = self.network_pred_to_df(np.asarray(pred_shape))[..., 0]

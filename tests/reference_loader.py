@@ -27,15 +27,41 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     return mod
 
 
-class _StubMetric:
-    """Minimal torchmetrics.Metric stand-in (reference util/metrics.py only
-    needs add_state + attribute storage at import/class-definition time)."""
+def _make_metric_stub():
+    """Minimal torchmetrics.Metric stand-in: the reference's util/metrics.py
+    subclasses it and the trainers put instances into torch.nn.ModuleList, so
+    it must be an nn.Module."""
+    import torch
 
-    def __init__(self, *args, **kwargs):
-        pass
+    class _StubMetric(torch.nn.Module):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
 
-    def add_state(self, name, default=None, dist_reduce_fx=None):
-        setattr(self, name, default)
+        def add_state(self, name, default=None, dist_reduce_fx=None):
+            setattr(self, name, default)
+
+    return _StubMetric
+
+
+def _make_lightning_stub():
+    """Minimal pytorch_lightning stand-in (not installed in this image): just
+    enough for the reference's LightningModule subclasses to construct and for
+    their training_step methods to run outside a Trainer — save_hyperparameters
+    stores the config as `hparams`, `log` is a no-op."""
+    import torch
+
+    class _StubLightningModule(torch.nn.Module):
+        def save_hyperparameters(self, config):
+            object.__setattr__(self, "_rf_hparams", dict(config))
+
+        @property
+        def hparams(self):
+            return self._rf_hparams
+
+        def log(self, *args, **kwargs):
+            pass
+
+    return _StubLightningModule
 
 
 def load_reference() -> None:
@@ -62,7 +88,9 @@ def load_reference() -> None:
     _stub("marching_cubes")
     _stub("pyrender")
     mm = _stub("torchmetrics")
-    mm.metric = _stub("torchmetrics.metric", Metric=_StubMetric)
+    mm.metric = _stub("torchmetrics.metric", Metric=_make_metric_stub())
+    _stub("pytorch_lightning", LightningModule=_make_lightning_stub())
+    _stub("wandb", log=lambda *a, **k: None, Image=object)
     ext = _stub("external")
     ext.ChamferDistancePytorch = _stub("external.ChamferDistancePytorch")
     ext.ChamferDistancePytorch.chamfer3D = _stub(

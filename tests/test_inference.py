@@ -165,3 +165,51 @@ def test_fused_decoder_engine_equals_flax(setup):
     eng_f = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
                                  use_feature_bank=True, use_fused_decoder=True)
     np.testing.assert_allclose(np.asarray(eng_f(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_packed_decoder_engine_equals_flax(setup):
+    """Serving with the fully packed decoder (second conv + head on the 32³
+    grid) must reproduce the flax-decoder engine."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_p = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True, use_packed_decoder=True)
+    np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_pallas_attention_reencode_engine_equals_flax(setup):
+    """The Pallas attention path in re-encode (no feature bank) mode — covers
+    the volume->attention-patch packing helper."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=False)
+    eng_p = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=False, use_pallas_attention=True)
+    np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_pallas_gathered_attention_engine_equals_flax(setup):
+    """Serving with the fused-GATHER attention kernel (bank tiles DMA'd by
+    top-k index inside the kernel; no XLA gather/pack/fold) must reproduce
+    the flax-module engine exactly (interpret mode on CPU)."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_g = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True,
+                                 use_pallas_attention="gathered")
+    np.testing.assert_allclose(np.asarray(eng_g(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_pallas_packedrows_attention_engine_equals_flax(setup):
+    """Serving with the packed-row-gather attention variant (XLA gather of
+    pre-packed bank rows + flat kernel over tile-major rows) must reproduce
+    the flax-module engine exactly (interpret mode on CPU)."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_p = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True,
+                                 use_pallas_attention="packedrows")
+    np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)

@@ -132,3 +132,20 @@ def test_occupancy_to_point_buffer():
     assert buf.shape == (8, 3)
     np.testing.assert_array_equal(buf[0], [0, 0, 0])
     np.testing.assert_array_equal(buf[1], [1, 2, 3])
+
+
+def test_iterative_topk_equals_lax_topk():
+    """k-round max selection == lax.top_k, including tie-breaking (equal
+    values selected in ascending index order) and duplicate rows."""
+    import jax.numpy as jnp
+    from jax import lax
+    from retrieval_fuse_tpu.ops.knn import iterative_topk
+    rng = np.random.default_rng(11)
+    sims = rng.standard_normal((64, 301)).astype(np.float32)
+    # force ties: duplicate some columns
+    sims[:, 50] = sims[:, 10]
+    sims[:, 51] = sims[:, 10]
+    v_ref, i_ref = lax.top_k(jnp.asarray(sims), 5)
+    v_got, i_got = iterative_topk(jnp.asarray(sims), 5)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref))

@@ -171,3 +171,48 @@ def test_mixed_precision_and_remat_step(synth_superres_root, tmp_path, monkeypat
     # params stay f32 (optimizer precision)
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_frozen_phase2_cache_matches_direct(trainer):
+    """The phase-2 frozen-feature cache (x_back / x_target / occ precomputed
+    once, only attention runs per step) reproduces the direct phase-2 loss
+    exactly — the cached step optimizes the same objective."""
+    from retrieval_fuse_tpu.data.loader import collate
+    items = trainer._build_phase2_cache()
+    assert len(items) == len(trainer.train_dataset)
+    b = 2
+    cb = {k: jnp.asarray(v) for k, v in collate(items[:b], b).items() if k != "valid"}
+    fpred, ftgt, occ_attn = trainer._attn_get_features(
+        trainer.state.params, cb["x_back"], cb["x_target"], cb["occ"])
+    cached_loss = float(trainer.compute_sliced_attn_nt_xent_loss(
+        b * 8, fpred, ftgt, occ_attn))
+
+    raw = collate([trainer.train_dataset[i] for i in range(b)], b)
+    batch = trainer.augment_batch_data(trainer._device_batch(raw))
+    direct_loss, _ = trainer._phase_loss(2, trainer.state.params, batch,
+                                         jax.random.PRNGKey(0))
+    np.testing.assert_allclose(cached_loss, float(direct_loss), rtol=1e-5, atol=1e-6)
+
+
+def test_frozen_phase2_cache_fit_smoke(synth_superres_root, tmp_path, monkeypatch):
+    """fit() with frozen_phase_cache on: cached steps run, loss finite, and
+    only attention params move."""
+    from retrieval_fuse_tpu.data.synthetic import make_synthetic_config
+    monkeypatch.chdir(tmp_path)
+    cfg = make_synthetic_config(synth_superres_root, task="superresolution")
+    cfg.update(nf=4, K=2, batch_size=2, unet_num_level=4, retrieval_fmaps=4,
+               retrieval_num_level=4, experiment="test_p2cache",
+               current_phase=2, frozen_phase_cache=True, val_check_percent=0.0)
+    for d in ("dataset_train", "dataset_val"):
+        cfg[d].update(patch_size_input=8, patch_context_input=0, patch_size_target=64,
+                      patch_context_target=0, patch_stride=64)
+    tr = RefinementTrainer(cfg, enable_vis=False)
+    before = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    tr.fit(max_epochs=1, val_check_interval=100, max_steps_per_epoch=2)
+    after = tr.state.params
+    leaves_eq = lambda sub: all(
+        np.allclose(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(before[sub]), jax.tree_util.tree_leaves(after[sub])))
+    assert not leaves_eq("patched_attention_block"), "attention params did not move"
+    for frozen in ("unet_backbone", "decoder", "retrieval_backbone"):
+        assert leaves_eq(frozen), f"{frozen} moved in cached phase 2"

@@ -59,3 +59,22 @@ def test_serve_cli_end_to_end(synth_superres_root, tmp_path, monkeypatch):
     assert vol.shape == (64, 64, 64)
     trunc = float(rf.scene_handlers["train"].target_trunc)
     assert vol.min() >= -1e-3 and vol.max() <= trunc + 1e-3
+
+    # bank/database row-alignment guard: desynchronize the embeddings from
+    # their rows (as a dictionary built from different scene ordering would)
+    # -> engine construction must fail loudly, not serve wrong patches
+    from retrieval_fuse_tpu.serve import build_engine_from_artifacts
+    from retrieval_fuse_tpu.utils.misc import get_tree_path
+    tree = Path(get_tree_path(cfg))
+    db = np.load(tree / "database.npy")
+    real = db[:, 0] >= 0
+    assert real.sum() >= 2
+    # random unit rows, not a roll of the real ones: embeddings of similar
+    # synthetic patches through a barely-trained encoder are near-parallel,
+    # so a roll can keep cosine ≈ 1 and slip past the guard
+    rng = np.random.default_rng(0)
+    fake = rng.standard_normal((int(real.sum()), db.shape[1] - 7)).astype(db.dtype)
+    db[real, 7:] = fake / np.linalg.norm(fake, axis=1, keepdims=True)
+    np.save(tree / "database", db)
+    with pytest.raises(ValueError, match="alignment"):
+        build_engine_from_artifacts(cfg, rckpt, fckpt, compute_dtype=np.float32)
