@@ -41,10 +41,15 @@ def main(batch_size: int = 8, iters: int = 10, mixed_precision: bool = True,
         trainer.set_phase(phase)
         if cached and phase == 2:
             # frozen-phase feature cache: x_back / x_target / occ precomputed,
-            # per-step work = attention.get_features + NT-Xent + attention grads
+            # per-step work = attention.get_features + NT-Xent + attention
+            # grads, consumed from the DEVICE-resident cache (no per-step
+            # host->device transfer — via the tunnel that transfer alone
+            # costs more than the whole direct step)
             citems = trainer._build_phase2_cache()
-            cb = collate([citems[i % len(citems)] for i in range(batch_size)], batch_size)
-            batch = {k: jnp.asarray(v) for k, v in cb.items() if k != "valid"}
+            cache_dev = trainer._device_phase2_cache(citems)
+            assert cache_dev is not None, "bench cache should fit the HBM budget"
+            idx = jnp.arange(batch_size) % len(citems)
+            batch = {k: v[idx] for k, v in cache_dev.items()}
             step = trainer._build_cached_phase2_step()
         else:
             items = [trainer.train_dataset[i % len(trainer.train_dataset)] for i in range(batch_size)]
