@@ -68,8 +68,11 @@ def _refinement_trainer(synth_superres_root, phase):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("phase,steps,factor", [(0, 50, 0.7), (3, 40, 0.9)],
+@pytest.mark.parametrize("phase,steps,factor", [(0, 50, 0.7), (3, 40, 0.7)],
                          ids=["phase0-backbone", "phase3-full"])
+# phase-3 factor tightened 0.9 -> 0.7 (r3 calibration: ratio 0.522 at 40
+# steps on this setup — 0.7 keeps ~35% headroom while catching a phase-3
+# step that only coasts on the L1 term)
 def test_refinement_phase_overfits_one_batch(synth_superres_root, tmp_path, monkeypatch,
                                              phase, steps, factor):
     """Overfit a fixed 2-chunk batch: the phase loss must fall below `factor`
