@@ -108,7 +108,7 @@ def pallas_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
         # trick: append one extra dimension valued -B for pads, +0 for queries
         sentinel = jnp.where(jnp.arange(n_padded) < n, 0.0, -4.0).astype(database.dtype)
         database = jnp.concatenate([database, sentinel[:, None]], axis=1)
-        queries = jnp.concatenate([queries, jnp.ones((q, 1), queries.dtype)], axis=1)
+        queries = jnp.concatenate([queries, jnp.ones((q_padded, 1), queries.dtype)], axis=1)
         d += 1
 
     grid_spec = pl.GridSpec(
