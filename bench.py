@@ -51,11 +51,13 @@ LADDER_GROUPS = [
         ("simple", 128, "fused+pallas"),
         ("simple", 128, "fused"),
     ],
-    [  # B: experimental / historically compile-fragile (batch-256 programs
-       #    reproducibly kill the remote compile helper, r2+r3)
-        ("simple", 192, "fused+pallasp"),
-        ("chained", 128, "fused+pallasp"),
+    [  # B: larger batches (the old layout chain's batch-256 program killed
+       #    the remote compile helper r2; the pallasp program compiles —
+       #    measured r3: 1625.0 / 1617.5 chained / 1253.3). Best-first so a
+       #    degraded-transport timeout still keeps the strongest number.
         ("simple", 256, "fused+pallasp"),
+        ("chained", 256, "fused+pallasp"),
+        ("simple", 192, "fused+pallasp"),
     ],
 ]
 GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))
