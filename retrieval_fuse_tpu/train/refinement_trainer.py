@@ -33,7 +33,7 @@ from retrieval_fuse_tpu.ops.fold3d import unfold3d, fold3d
 from retrieval_fuse_tpu.ops.sobel import compute_normals
 from retrieval_fuse_tpu.train import schedule as sched
 from retrieval_fuse_tpu.train.checkpoint import (
-    save_checkpoint, load_checkpoint, load_subnet_params, latest_checkpoint)
+    save_checkpoint, load_checkpoint, load_subnet_params)
 from retrieval_fuse_tpu.utils.logger import MetricsLogger
 from retrieval_fuse_tpu.evaluation.metrics import IoU, Chamfer3D, Precision, Recall
 
