@@ -19,6 +19,24 @@ entry and timed out on a degraded tunnel, so the official number never
 captured the fast paths. Results stream line-by-line to a temp file, so a
 ladder timeout still keeps every completed measurement; a per-entry
 fallback ladder (old style) only runs if the warm ladder produced nothing.
+
+Round 4 — the harness itself must survive an OUTER kill (round 3's driver
+timed bench.py out before the single end-of-run JSON print, discarding every
+completed measurement):
+* the parent TAILS the ladder subprocess's result file live and re-prints the
+  best-so-far JSON line after EVERY new measurement, so a SIGKILL at any
+  moment >= the first completed measurement still leaves a parseable last
+  line on stdout;
+* a global wall-clock budget (BENCH_TOTAL_BUDGET_S, default 1380 s — under
+  the driver's observed ~25-30 min kill) bounds the whole run, and every
+  group/fallback budget derives from the REMAINING time, never from fixed
+  constants that can add up past the outer timeout;
+* the nothing-measured fallback tries the smallest-compile program FIRST
+  (base@8) — on a degraded transport that is the only program with a chance
+  of compiling inside the remaining budget.
+Set BENCH_SIMULATE=1 to replace measurements with timed fake rows (no jax) —
+used by tests/test_bench_harness.py to SIGKILL the harness mid-run and
+assert the last stdout line is still valid JSON.
 """
 
 from __future__ import annotations
@@ -61,6 +79,15 @@ LADDER_GROUPS = [
     ],
 ]
 GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))
+# Global budget for the WHOLE bench run. The driver killed round 3's run at
+# ~25-30 min wall; every internal budget below is derived from the time
+# remaining under this, so worst-case internal time can never exceed it.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1380))
+_POLL_S = 0.5          # parent tail-poll interval on the streamed result file
+_FINAL_RESERVE_S = 10  # kept back so the final emit always happens in-budget
+# Smallest remaining budget worth starting a stage with (a fresh remote
+# compile needs >=15-65 s healthy); tests shrink it to exercise tiny budgets.
+MIN_STAGE_S = float(os.environ.get("BENCH_MIN_STAGE_S", 30))
 
 
 def _enable_compile_cache():
@@ -230,11 +257,27 @@ def measure_simple(engine, batch_size: int, iters: int = 20) -> float:
     return batch_size * iters / dt
 
 
+def _simulate_rows(out_path: str, group: int) -> None:
+    """BENCH_SIMULATE mode: write timed fake result rows (no jax, no device)
+    so tests can exercise the parent's streaming/kill behavior quickly."""
+    step_s = float(os.environ.get("BENCH_SIMULATE_STEP_S", "0.4"))
+    with open(out_path, "a") as out:
+        for i, (mode, b, variant) in enumerate(LADDER_GROUPS[group]):
+            time.sleep(step_s)
+            out.write(f"{mode} {b} {variant} {100.0 * (group * 10 + i + 1):.2f}\n")
+            out.flush()
+    if os.environ.get("BENCH_SIMULATE_HANG") == "1":
+        time.sleep(3600)
+
+
 def _run_ladder(out_path: str, group: int) -> None:
     """Warm-ladder subprocess entry: build shared device data ONCE, then
     measure every entry of LADDER_GROUPS[group] sequentially, appending a
     result line to out_path after EACH measurement (a parent-side kill keeps
     completed rows)."""
+    if os.environ.get("BENCH_SIMULATE"):
+        _simulate_rows(out_path, group)
+        return
     import jax.numpy as jnp
     _enable_compile_cache()
     cfg = flagship_config()
@@ -269,6 +312,10 @@ def _run_ladder(out_path: str, group: int) -> None:
 def _run_one(mode: str, batch_size: int, variant: str = "base") -> None:
     """Per-entry fallback subprocess: build one engine, run one measurement,
     print the chunks/sec as the last stdout line."""
+    if os.environ.get("BENCH_SIMULATE"):
+        time.sleep(float(os.environ.get("BENCH_SIMULATE_STEP_S", "0.4")))
+        print(f"RESULT {50.0 + batch_size:.2f}", flush=True)
+        return
     import jax.numpy as jnp
     _enable_compile_cache()
     cfg = flagship_config()
@@ -296,33 +343,137 @@ def _parse_ladder_results(path):
     return results
 
 
-def main():
-    """Run the warm ladder in one kill-able subprocess (hung remote-compile
-    RPCs block in C calls that in-process signal watchdogs cannot interrupt);
-    harvest its streamed results even on timeout. Per-entry subprocesses
-    (round-2 style) remain only as the nothing-measured fallback."""
+def _emit_best(results) -> None:
+    """Print the best-so-far JSON result line. Called after EVERY harvested
+    measurement (and once at exit), so an outer SIGKILL at any moment past
+    the first completed measurement leaves a valid last line on stdout."""
+    best, best_mode, best_b, best_variant = max(
+        results, default=(0.0, "none", 0, "none"))
+    # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
+    # on ONE chip; serving is pure data parallelism (batch-sharded, zero
+    # cross-chip traffic), so the per-chip share of the target is 5000/8.
+    baseline_per_chip = 5000.0 / 8.0
+    print(json.dumps({
+        "metric": "retrieve_refine_throughput_per_chip",
+        "value": round(best, 1),
+        "unit": "chunks/sec",
+        "vs_baseline": round(best / baseline_per_chip, 4),
+        "mode": best_mode, "batch": best_b, "variant": best_variant,
+    }), flush=True)
+
+
+# active ladder child + result path, for the SIGTERM handler: an outer
+# `timeout`/driver TERMs only the parent, which would orphan the child (it
+# keeps holding the TPU tunnel). The handler kills the child, emits the
+# best-so-far line once more, and exits cleanly.
+_ACTIVE = {"proc": None, "out_path": None}
+
+
+def _on_terminate(signum, frame):
+    del signum, frame
+    proc = _ACTIVE.get("proc")
+    if proc is not None and proc.poll() is None:
+        try:
+            proc.kill()
+        except OSError:
+            pass
+    out_path = _ACTIVE.get("out_path")
+    if out_path:
+        _emit_best(_parse_ladder_results(out_path))
+    sys.exit(0)
+
+
+def _tail_group(here: str, out_path: str, group: int, budget_s: float,
+                on_new) -> None:
+    """Run one ladder-group subprocess under budget_s, polling the streamed
+    result file WHILE it runs and invoking on_new(results) whenever new rows
+    land. Child stdout/stderr go to a temp file (never the parent's stdout,
+    which carries only JSON result lines + '#' diagnostics on stderr)."""
     import subprocess
     import tempfile
+
+    seen = 0
+    # named log file so a human (or a debugging agent) can tail the group's
+    # live stderr; removed after the tail is printed
+    log_path = out_path + f".group{group}.log"
+    with open(log_path, "w+") as log:
+        proc = subprocess.Popen(
+            [sys.executable, "-u", here, "--ladder", out_path, str(group)],
+            stdout=log, stderr=log, text=True)
+        _ACTIVE["proc"] = proc
+        deadline = time.monotonic() + budget_s
+        timed_out = False
+        while True:
+            rc = proc.poll()
+            results = _parse_ladder_results(out_path)
+            if len(results) > seen:
+                seen = len(results)
+                on_new(results)
+            if rc is not None:
+                break
+            if time.monotonic() >= deadline:
+                proc.kill()
+                proc.wait()
+                timed_out = True
+                break
+            time.sleep(_POLL_S)
+        # final harvest: a row can land between the last poll and exit/kill
+        results = _parse_ladder_results(out_path)
+        if len(results) > seen:
+            on_new(results)
+        log.seek(0)
+        tail = log.read().splitlines()[-10:]
+    try:
+        os.unlink(log_path)
+    except OSError:
+        pass
+    print("\n".join(tail), file=sys.stderr, flush=True)
+    if timed_out:
+        print(f"# ladder group {group} timed out after {budget_s:.0f}s; "
+              "kept its partial results", file=sys.stderr, flush=True)
+    elif proc.returncode != 0:
+        print(f"# ladder group {group} rc={proc.returncode}",
+              file=sys.stderr, flush=True)
+
+
+def main():
+    """Run the warm ladder in kill-able subprocesses (hung remote-compile
+    RPCs block in C calls that in-process signal watchdogs cannot interrupt),
+    tailing their streamed results live. Per-entry subprocesses (round-2
+    style) remain only as the nothing-measured fallback, smallest program
+    first. Every budget derives from the time remaining under
+    TOTAL_BUDGET_S; a best-so-far JSON line is (re)printed after every
+    harvested measurement."""
+    import signal
+    import subprocess
+    import tempfile
+
+    t_start = time.monotonic()
+    signal.signal(signal.SIGTERM, _on_terminate)
+    signal.signal(signal.SIGINT, _on_terminate)
+
+    def remaining() -> float:
+        return TOTAL_BUDGET_S - _FINAL_RESERVE_S - (time.monotonic() - t_start)
 
     here = os.path.abspath(__file__)
     fd, out_path = tempfile.mkstemp(prefix="bench_ladder_", suffix=".txt")
     os.close(fd)
+    _ACTIVE["out_path"] = out_path
+    emitted = [0]
+
+    def on_new(results):
+        emitted[0] = len(results)
+        _emit_best(results)
+
     for group in range(len(LADDER_GROUPS)):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", here, "--ladder", out_path, str(group)],
-                capture_output=True, text=True, timeout=GROUP_TIMEOUT_S)
-            tail = "\n".join(proc.stderr.splitlines()[-10:])
-            print(tail, file=sys.stderr, flush=True)
-            if proc.returncode != 0:
-                print(f"# ladder group {group} rc={proc.returncode}",
-                      file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired as e:
-            print(f"# ladder group {group} timed out; keeping its partial results",
-                  file=sys.stderr, flush=True)
-            if e.stderr:
-                err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode("utf-8", "replace")
-                print("\n".join(err.splitlines()[-10:]), file=sys.stderr, flush=True)
+        # Group A (proven-fast entries) may use at most ~60% of what's left so
+        # a degraded transport that stalls it still leaves the fallback a
+        # budget; later groups take what remains.
+        frac = 0.6 if group == 0 else 1.0
+        budget = min(GROUP_TIMEOUT_S, frac * remaining())
+        if budget < MIN_STAGE_S:
+            break
+        _tail_group(here, out_path, group, budget, on_new)
         if group == 0 and not _parse_ladder_results(out_path):
             print("# group A produced nothing — transport likely degraded; "
                   "skipping experimental group B", file=sys.stderr, flush=True)
@@ -334,12 +485,18 @@ def main():
         pass
 
     if not results:
-        # fallback: small, compile-reliable per-entry subprocesses
-        for mode, b, variant in [("simple", 128, "fused"), ("simple", 128, "base"),
-                                 ("simple", 8, "base")]:
+        # Fallback: per-entry subprocesses, SMALLEST compile first — in the
+        # degraded regime the smallest program is the only one likely to
+        # compile inside the remaining budget. Keep measuring (and emitting)
+        # while budget remains; best result wins.
+        for mode, b, variant in [("simple", 8, "base"), ("simple", 128, "base"),
+                                 ("simple", 128, "fused")]:
+            budget = min(480.0, remaining())
+            if budget < MIN_STAGE_S:
+                break
             try:
                 proc = subprocess.run([sys.executable, "-u", here, "--one", mode, str(b), variant],
-                                      capture_output=True, text=True, timeout=480)
+                                      capture_output=True, text=True, timeout=budget)
                 result = 0.0
                 for line in proc.stdout.splitlines():
                     if line.startswith("RESULT "):
@@ -355,21 +512,9 @@ def main():
             print(f"# fallback {mode} b={b} [{variant}]: {result:.1f} chunks/sec",
                   file=sys.stderr, flush=True)
             results.append((result, mode, b, variant))
-            break  # one solid number beats stressing a flaky transport
+            _emit_best(results)
 
-    best, best_mode, best_b, best_variant = max(
-        results, default=(0.0, "none", 0, "none"))
-    # The target (BASELINE.md) is 5,000 chunks/sec on a v5e-8. This bench runs
-    # on ONE chip; serving is pure data parallelism (batch-sharded, zero
-    # cross-chip traffic), so the per-chip share of the target is 5000/8.
-    baseline_per_chip = 5000.0 / 8.0
-    print(json.dumps({
-        "metric": "retrieve_refine_throughput_per_chip",
-        "value": round(best, 1),
-        "unit": "chunks/sec",
-        "vs_baseline": round(best / baseline_per_chip, 4),
-        "mode": best_mode, "batch": best_b, "variant": best_variant,
-    }))
+    _emit_best(results)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,11 @@ through async transports. Run early on a fresh tunnel; each variant costs a
 fresh compile (2-4 min).
 
 Usage: python bench_ablate.py [batch] [variant] [ablations...]
-       python bench_ablate.py --sweep        # the standard attribution sweep
+       python bench_ablate.py --sweep [batch] [variant]  # attribution sweep
+       (sweep runs ONE warm subprocess that builds data/engine once and
+        measures every ablation sequentially, streaming rows to a file —
+        round 3's one-subprocess-per-ablation version recompiled everything
+        per entry and lost 4 of 7 entries to a contended transport)
 """
 
 from __future__ import annotations
@@ -45,30 +49,60 @@ def run_one(batch: int, variant: str, ablations: tuple[str, ...]) -> float:
     return measure(engine, batch, iters=20)
 
 
-def main_sweep(batch: int = 128, variant: str = "fused"):
-    """Each ablation in its own kill-able subprocess (hung remote compiles
-    can't be interrupted in-process); prints a delta table at the end."""
-    here = os.path.abspath(__file__)
-    results = {}
-    for ab in SWEEP:
-        t0 = time.perf_counter()
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", here, str(batch), variant, ab],
-                capture_output=True, text=True, timeout=600)
-            val = None
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT "):
-                    val = float(line.split()[1])
-            if val is None:
-                tail = "; ".join(proc.stderr.splitlines()[-3:])
-                print(f"# {ab}: FAILED rc={proc.returncode} {tail[:300]}", flush=True)
+def run_warm_sweep(out_path: str, batch: int, variant: str) -> None:
+    """Warm-subprocess entry: build data once, one engine per ablation (same
+    shared device buffers), measure sequentially, streaming a result row per
+    entry so a parent-side kill keeps completed rows."""
+    import jax.numpy as jnp
+    _enable_compile_cache()
+    cfg = flagship_config()
+    params = build_params(cfg, jnp.bfloat16)
+    db, feature_bank = build_data(cfg["nf"], jnp.bfloat16)
+    with open(out_path, "a") as out:
+        for ab in SWEEP:
+            t0 = time.perf_counter()
+            try:
+                engine = build_engine(cfg, params, db, feature_bank, variant, jnp.bfloat16)
+                engine._ablate = frozenset(() if ab == "none" else (ab,))
+                val = measure(engine, batch, iters=20)
+            except Exception as e:  # noqa: BLE001 — diagnose, keep sweeping
+                msg = f"{type(e).__name__}: {e}".replace("\n", " | ")
+                print(f"# {ab} FAILED: {msg[:300]}", file=sys.stderr, flush=True)
+                out.write(f"# fail {ab} {msg[:200]}\n")
+                out.flush()
                 continue
-        except subprocess.TimeoutExpired:
-            print(f"# {ab}: timed out", flush=True)
-            continue
-        results[ab] = val
-        print(f"# {ab}: {val:.1f} chunks/sec ({time.perf_counter()-t0:.0f}s)", flush=True)
+            print(f"# {ab}: {val:.1f} chunks/sec ({time.perf_counter()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+            out.write(f"{ab} {val:.2f}\n")
+            out.flush()
+
+
+def main_sweep(batch: int = 128, variant: str = "fused",
+               timeout_s: float = 2400.0):
+    """One warm kill-able subprocess for the whole sweep (hung remote compiles
+    can't be interrupted in-process); harvests streamed rows even on timeout
+    and prints the delta table from whatever completed."""
+    import tempfile
+    here = os.path.abspath(__file__)
+    fd, out_path = tempfile.mkstemp(prefix="ablate_", suffix=".txt")
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", here, "--warm", out_path, str(batch), variant],
+            capture_output=True, text=True, timeout=timeout_s)
+        print("\n".join(proc.stderr.splitlines()[-12:]), flush=True)
+    except subprocess.TimeoutExpired as e:
+        print("# sweep timed out; keeping partial rows", flush=True)
+        if e.stderr:
+            err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode("utf-8", "replace")
+            print("\n".join(err.splitlines()[-12:]), flush=True)
+    results = {}
+    with open(out_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2 and not line.startswith("#"):
+                results[parts[0]] = float(parts[1])
+    os.unlink(out_path)
     if "none" in results:
         full = results["none"]
         ms_full = batch / full * 1000.0 / batch  # ms per chunk
@@ -87,6 +121,8 @@ if __name__ == "__main__":
         b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
         v = sys.argv[3] if len(sys.argv) > 3 else "fused"
         main_sweep(b, v)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--warm":
+        run_warm_sweep(sys.argv[2], int(sys.argv[3]), sys.argv[4])
     else:
         b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
         v = sys.argv[2] if len(sys.argv) > 2 else "fused"
