@@ -64,7 +64,10 @@ import numpy as np
 LADDER_GROUPS = [
     [  # A: proven, compile-reliable (pallasp = packed-row gather + flat
        #    attention kernel — the fastest measured variant; pallas = packed
-       #    feed into the flat kernel)
+       #    feed into the flat kernel). The tiny base@8 leads as evidentiary
+       #    insurance: it compiles in ~15 s on a healthy transport, so ANY
+       #    later kill/timeout still leaves a nonzero official number.
+        ("simple", 8, "base"),
         ("simple", 128, "fused+pallasp"),
         ("simple", 128, "fused+pallas"),
         ("simple", 128, "fused"),
@@ -183,7 +186,8 @@ def build_engine(cfg, params, db, feature_bank, variant, compute_dtype):
                               else "packedrows" if "pallasp" in variant
                               else "pallas" in variant),
         use_fused_decoder="fused" in variant or "packed" in variant,
-        use_packed_decoder="packed" in variant)
+        use_packed_decoder="packed" in variant,
+        topk_impl="approx" if "approxk" in variant else "iterative")
 
 
 def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,

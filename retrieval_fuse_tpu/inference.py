@@ -50,7 +50,9 @@ class RetrieveRefineEngine:
                  use_feature_bank: bool = True, feature_bank=None,
                  use_pallas_attention: bool = False,
                  use_fused_decoder: bool = False,
-                 use_packed_decoder: bool = False):
+                 use_packed_decoder: bool = False,
+                 streaming_knn: bool | None = None,
+                 topk_impl: str = "iterative"):
         """
         params: {'fenc_input', 'unet_backbone', 'decoder', 'retrieval_backbone',
                  'patched_attention_block'} param trees.
@@ -74,6 +76,14 @@ class RetrieveRefineEngine:
         use_packed_decoder: additionally run the decoder's second conv and
                     1x1 head space-to-depth-packed on the 32³ grid (128
                     channels, full MXU lanes end-to-end; implies fused).
+        streaming_knn: None (default) auto-selects the streaming Pallas kNN
+                    kernel when the database reaches the measured crossover
+                    (ops/knn.use_streaming_knn, >=1M rows — it never
+                    materializes the (Q, N) score matrix); True/False forces.
+        topk_impl: dense-path top-k select: 'iterative' (k-round max/mask,
+                    the r3 winner), 'approx' (lax.approx_max_k with
+                    recall_target=1.0 — the TPU PartialReduce instruction,
+                    exact), or 'top_k' (lax.top_k, the sort-based baseline).
         """
         self.config = config
         self.mesh = mesh
@@ -122,6 +132,11 @@ class RetrieveRefineEngine:
             lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, t)
         self.params = cast(params)
         self.database = jnp.asarray(database, compute_dtype)
+        from retrieval_fuse_tpu.ops.knn import use_streaming_knn
+        self.streaming_knn = (use_streaming_knn(self.database.shape[0])
+                              if streaming_knn is None else bool(streaming_knn))
+        assert topk_impl in ("iterative", "approx", "top_k"), topk_impl
+        self.topk_impl = topk_impl
         # patch_bank may be None when a feature bank is supplied directly
         # (serving never touches the raw tiles then)
         self.patch_bank = (None if patch_bank is None
@@ -222,17 +237,32 @@ class RetrieveRefineEngine:
         z = self.fenc_input.apply({"params": params["fenc_input"]}, patches)
         z = z.reshape(z.shape[0], -1)
         z = z / jnp.maximum(jnp.linalg.norm(z.astype(jnp.float32), axis=1, keepdims=True), 1e-12).astype(cd)
-        sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
         if "topk" in self._ablate:   # stand-in: argmax only, broadcast to K
+            sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
             top_idx = jnp.broadcast_to(
                 jnp.argmax(sims, axis=1)[:, None], (sims.shape[0], self.K))
         elif "knn" in self._ablate:  # stand-in: skip matmul+select entirely
             top_idx = jnp.broadcast_to(
                 jnp.arange(self.K, dtype=jnp.int32)[None, :], (z.shape[0], self.K))
+        elif self.streaming_knn:
+            # million-row corpora: stream database tiles through VMEM, never
+            # materializing the (Q, N) score matrix (identical indices; the
+            # measured crossover picks this automatically at >=1M rows)
+            from retrieval_fuse_tpu.ops.pallas_knn import pallas_exact_knn
+            top_idx, _ = pallas_exact_knn(
+                z.astype(jnp.float32), database.astype(jnp.float32), self.K,
+                interpret=jax.default_backend() != "tpu")
         else:
-            # identical results to lax.top_k, ~8x cheaper on TPU (ops/knn)
-            from retrieval_fuse_tpu.ops.knn import iterative_topk
-            _, top_idx = iterative_topk(sims, self.K)             # (B·R³, K)
+            sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
+            if self.topk_impl == "approx":
+                # TPU PartialReduce instruction; recall_target=1.0 is exact
+                _, top_idx = jax.lax.approx_max_k(sims, self.K, recall_target=1.0)
+            elif self.topk_impl == "top_k":
+                _, top_idx = jax.lax.top_k(sims, self.K)
+            else:
+                # identical results to lax.top_k, ~8x cheaper on TPU (ops/knn)
+                from retrieval_fuse_tpu.ops.knn import iterative_topk
+                _, top_idx = iterative_topk(sims, self.K)         # (B·R³, K)
 
         def regroup(volumes):
             # (K·B, S, S, S, C) k-major -> (B·K, ...) k-fastest, matching the
@@ -263,7 +293,10 @@ class RetrieveRefineEngine:
             else:
                 feats = feats.transpose(1, 0, 2, 3, 4, 5).reshape(
                     self.K * b * r ** 3, *bank.shape[1:])
-                x_retrieval = regroup(fold3d(feats, r, 8))        # (B·K, 32³, nf)
+                # feature-tile side comes from the bank itself (= t_patch_size
+                # // 2 after the backbone's 2x downsample) so non-16 dictionary
+                # geometries fold correctly in feature-bank mode too
+                x_retrieval = regroup(fold3d(feats, r, bank.shape[1]))  # (B·K, 32³, nf)
         else:
             # 2b) gather raw tiles, compose volumes, re-encode (training path)
             tps = self.t_patch_size

@@ -15,10 +15,17 @@ multiprocessing FLANN fan-out (util/retrieval.py:108-131).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Dense-vs-streaming crossover, measured on a v5e chip (BENCH_NOTES r3,
+# 4096 queries x 64-d, k=8): dense wins at 262k rows (46 vs 342 ms), the
+# streaming Pallas kernel wins at 1M (140 vs 261 ms) and 4M (542 vs 658 ms)
+# with identical indices. Env-overridable for other geometries.
+PALLAS_KNN_MIN_ROWS = int(os.environ.get("RF_PALLAS_KNN_MIN_ROWS", 1_000_000))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -55,6 +62,27 @@ def exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int):
     top_sims, top_idx = jax.lax.top_k(sims, k)
     sq_dists = jnp.maximum(2.0 - 2.0 * top_sims, 0.0)
     return top_idx, sq_dists
+
+
+def use_streaming_knn(n_rows: int, min_rows: int | None = None) -> bool:
+    """True when the streaming Pallas kernel is the measured-faster search for
+    an `n_rows`-row database (>= the crossover; the dense score matrix also
+    stops fitting HBM around there)."""
+    return n_rows >= (PALLAS_KNN_MIN_ROWS if min_rows is None else min_rows)
+
+
+def auto_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
+                   min_rows: int | None = None):
+    """Exact kNN with automatic engine selection: the dense matmul + top-k
+    below the measured crossover, the streaming Pallas kernel
+    (ops/pallas_knn) at or above it. Identical indices either way (equality
+    pinned in tests/test_pallas_knn.py); off-TPU the streaming path runs in
+    interpret mode so selection behavior is testable anywhere."""
+    if use_streaming_knn(database.shape[0], min_rows):
+        from retrieval_fuse_tpu.ops.pallas_knn import pallas_exact_knn
+        return pallas_exact_knn(queries, database, k,
+                                interpret=jax.default_backend() != "tpu")
+    return exact_knn(queries, database, k)
 
 
 def sharded_exact_knn(queries, database, k: int, mesh: Mesh, axis: str = "data"):

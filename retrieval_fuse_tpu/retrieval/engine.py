@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from retrieval_fuse_tpu.data.scene import SceneHandler
-from retrieval_fuse_tpu.ops.knn import exact_knn, demote_same_scene
+from retrieval_fuse_tpu.ops.knn import auto_exact_knn, demote_same_scene
 from retrieval_fuse_tpu.utils.timer import Timer
 
 
@@ -60,7 +60,9 @@ def query_dictionary_using_features(query_config: dict, patch_names, input_featu
                 from retrieval_fuse_tpu.ops.knn import sharded_exact_knn
                 top_idx, sq_d = sharded_exact_knn(jnp.asarray(q), db_embeddings, 2 * K, mesh)
             else:
-                top_idx, sq_d = exact_knn(jnp.asarray(q), db_embeddings, 2 * K)
+                # auto-selects the streaming Pallas kernel at >=1M rows (the
+                # measured crossover), the dense matmul + top-k below it
+                top_idx, sq_d = auto_exact_knn(jnp.asarray(q), db_embeddings, 2 * K)
             if ignore_patches_from_source:
                 top_idx, sq_d = demote_same_scene(
                     top_idx, sq_d, jnp.asarray(db_scene_ids),

@@ -121,16 +121,22 @@ class RefinementTrainer:
         self._train_steps = {ph: self._build_train_step(ph) for ph in range(4)}
         self._val_forward = jax.jit(lambda p, b, r: self.forward_full(p, b, r))
 
-        def val_losses(params, batch, rng, n_valid):
+        def val_losses(params, batch, rng, rowmask):
             """Per-batch validation losses with the collate padding masked out:
             the final partial batch repeats its last item (data/loader.collate),
             so weights/normals of padded rows are zeroed (dropping them from the
             weighted L1 and the cosine-valid mask) and their patches are
             excluded from the contrastive occupancy gate; the L1 mean is
-            rescaled to average over real rows only."""
+            rescaled to average over real rows only.
+
+            `rowmask`: (B,) bool, one entry per GLOBAL batch row. Multi-process
+            batches are host-major (make_global_batch), so each host's padding
+            lives inside its own block — a scalar arange(B) < n_valid count
+            would zero every host>0's real rows; the caller assembles the mask
+            per host instead."""
             batch = self.augment_batch_data(batch)
             b = batch["target"].shape[0]
-            rowmask = jnp.arange(b) < n_valid
+            n_valid = rowmask.sum()
             rm = rowmask.astype(batch["target"].dtype).reshape(b, 1, 1, 1, 1)
             batch["weights"] = batch["weights"] * rm
             batch["normals"] = batch["normals"] * rm
@@ -508,6 +514,17 @@ class RefinementTrainer:
             return make_global_batch(db, self.mesh)
         return {k: jnp.asarray(v) for k, v in db.items()}
 
+    def _global_rowmask(self, n_valid_local: int):
+        """(B,) bool validity mask for a (possibly global) device batch: this
+        host's rows are valid up to its own collate count; multi-process
+        assembly is host-major like make_global_batch, so the blocks line up
+        with the batch rows."""
+        local = np.arange(self.batch_size) < int(n_valid_local)
+        if self.mesh is not None:
+            from retrieval_fuse_tpu.parallel.mesh import make_global_batch
+            return make_global_batch({"rowmask": local}, self.mesh)["rowmask"]
+        return jnp.asarray(local)
+
     def _cached_device_batch(self, batch):
         db = {k: batch[k] for k in ("x_back", "x_target", "occ")}
         if self.mesh is not None:
@@ -528,6 +545,17 @@ class RefinementTrainer:
         run_dir = Path("runs") / self.config["experiment"]
         rng = jax.random.PRNGKey(self.config.get("seed", 0) or 0)
         use_cache = self.phase == 2 and bool(self.config.get("frozen_phase_cache"))
+        if use_cache and jax.process_count() > 1:
+            # Multi-process: the cache build would redundantly encode the full
+            # train set on every host and feed process-local arrays to a jit
+            # holding mesh-global params (device-set mismatch), and the host
+            # fallback path was MEASURED slower than no cache at all through a
+            # thin transport (BENCH_NOTES r3: 6.0 vs 21.8 chunks/sec). Disable
+            # loudly; the direct path is never worse.
+            print("[frozen_phase_cache] disabled under multi-process "
+                  f"(process_count={jax.process_count()}): using the direct "
+                  "(uncached) phase-2 path", flush=True)
+            use_cache = False
         cache_dev = None
         if use_cache:
             train_source = self._build_phase2_cache()
@@ -643,9 +671,12 @@ class RefinementTrainer:
                 db = self._device_batch(batch)
                 rng, k = jax.random.split(rng)
                 # per-batch validation losses, like the reference's
-                # get_evaluation_for_batch (trainer/train_refinement.py:223-229)
+                # get_evaluation_for_batch (trainer/train_refinement.py:223-229);
+                # the row-validity mask is assembled host-major exactly like the
+                # batch, so every host's padding (not just host 0's) is masked
+                rowmask = self._global_rowmask(batch["valid"])
                 pred_shape, losses = self._val_losses(self.state.params, db, k,
-                                                      jnp.asarray(batch["valid"]))
+                                                      rowmask)
                 for lk, lv in losses.items():
                     loss_sums[lk] = loss_sums.get(lk, 0.0) + float(lv)
                 n_loss += 1
@@ -693,6 +724,17 @@ class RefinementTrainer:
         multiproc = jax.process_count() > 1
         if multiproc and jax.process_index() != 0:
             return None
+        params = self.state.params
+        if multiproc:
+            # replicated global params span non-addressable devices; a
+            # single-process dispatch with them would raise/deadlock even
+            # though the batch is local — materialize a host-local copy from
+            # this host's addressable replica shard
+            params = jax.tree_util.tree_map(
+                lambda a: (np.asarray(a.addressable_shards[0].data)
+                           if isinstance(a, jax.Array) and not a.is_fully_addressable
+                           else a),
+                params)
         ds = self.dataset(f"{out_tag}_vis")
         rng = jax.random.PRNGKey(3)
         pred_shapes = []
@@ -700,7 +742,7 @@ class RefinementTrainer:
             db = ({k: jnp.asarray(batch[k]) for k in ("input", "target", "retrieval")}
                   if multiproc else self._device_batch(batch))
             rng, k = jax.random.split(rng)
-            pred_shape, *_ = self._val_forward(self.state.params, db, k)
+            pred_shape, *_ = self._val_forward(params, db, k)
             pred_df = self.network_pred_to_df(np.asarray(pred_shape))[..., 0]
             pred_shapes.append(pred_df[: batch["valid"]].astype(np.float16))
         all_preds = np.concatenate(pred_shapes, axis=0)[:, None]  # (N, 1, D, H, W)

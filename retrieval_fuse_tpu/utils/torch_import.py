@@ -246,3 +246,20 @@ def import_retrieval_checkpoint(state_dict: dict, input_is_mlp: bool,
     fin = import_mlp_encoder(sd_in) if input_is_mlp else import_conv_encoder(sd_in, n_convs_input)
     ftgt = import_conv_encoder(sd_tgt, n_convs_target)
     return {"fenc_input": fin, "fenc_target": ftgt}
+
+
+def _n_conv_layers(sd: dict) -> int:
+    return len({k for k in sd if k.startswith("layers.") and k.endswith(".weight")
+                and np.asarray(sd[k]).ndim == 5})
+
+
+def import_retrieval_checkpoint_auto(state_dict: dict) -> dict:
+    """Like import_retrieval_checkpoint, but infers the encoder kinds from the
+    weights themselves (a 5-d `layers.*.weight` means Conv3d, else the encoder
+    is an MLP) — checkpoints carry their own architecture, so callers need not
+    plumb the config's network_input/network_target strings through."""
+    sd_in = _strip(state_dict, "fenc_input")
+    n_in = _n_conv_layers(sd_in)
+    n_tgt = _n_conv_layers(_strip(state_dict, "fenc_target"))
+    return import_retrieval_checkpoint(state_dict, input_is_mlp=n_in == 0,
+                                       n_convs_input=n_in, n_convs_target=n_tgt)

