@@ -76,9 +76,19 @@ LADDER_GROUPS = [
        #    the remote compile helper r2; the pallasp program compiles —
        #    measured r3: 1625.0 / 1617.5 chained / 1253.3). Best-first so a
        #    degraded-transport timeout still keeps the strongest number.
+       #    topk1p = single-HBM-pass top-k select (ops/pallas_topk) replacing
+       #    the k+1-pass iterative select (19.5 ms/batch HBM floor -> 2.2,
+       #    ROOFLINE.md; measured ~12% of device time r3). dconv =
+       #    parity-decomposed second decoder conv (full MXU lanes, 37.6 ->
+       #    21.8 ms effective floor on the pipeline's biggest FLOP stage).
+       #    Experimental rows AFTER the proven ones so a failure can't cost
+       #    them; combined row first among the experiments — if it compiles
+       #    it should be the new headline.
         ("simple", 256, "fused+pallasp"),
         ("chained", 256, "fused+pallasp"),
-        ("simple", 192, "fused+pallasp"),
+        ("simple", 256, "fused+pallasp+topk1p+dconv"),
+        ("simple", 256, "fused+pallasp+topk1p"),
+        ("simple", 256, "fused+pallasp+dconv"),
     ],
 ]
 GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))
@@ -186,8 +196,10 @@ def build_engine(cfg, params, db, feature_bank, variant, compute_dtype):
                               else "packedrows" if "pallasp" in variant
                               else "pallas" in variant),
         use_fused_decoder="fused" in variant or "packed" in variant,
-        use_packed_decoder="packed" in variant,
-        topk_impl="approx" if "approxk" in variant else "iterative")
+        use_packed_decoder=("decomposed" if "dconv" in variant
+                            else "packed" in variant),
+        topk_impl=("approx" if "approxk" in variant
+                   else "pallas1p" if "topk1p" in variant else "iterative"))
 
 
 def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,

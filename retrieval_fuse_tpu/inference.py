@@ -76,6 +76,9 @@ class RetrieveRefineEngine:
         use_packed_decoder: additionally run the decoder's second conv and
                     1x1 head space-to-depth-packed on the 32³ grid (128
                     channels, full MXU lanes end-to-end; implies fused).
+                    The string "decomposed" swaps the packed second conv for
+                    the parity-decomposed 8-subgrid version (same lanes,
+                    ~40% fewer FLOPs — ops/fused_decoder.DecomposedPackedDecoder).
         streaming_knn: None (default) auto-selects the streaming Pallas kNN
                     kernel when the database reaches the measured crossover
                     (ops/knn.use_streaming_knn, >=1M rows — it never
@@ -83,7 +86,10 @@ class RetrieveRefineEngine:
         topk_impl: dense-path top-k select: 'iterative' (k-round max/mask,
                     the r3 winner), 'approx' (lax.approx_max_k with
                     recall_target=1.0 — the TPU PartialReduce instruction,
-                    exact), or 'top_k' (lax.top_k, the sort-based baseline).
+                    exact), 'top_k' (lax.top_k, the sort-based baseline), or
+                    'pallas1p' (single-HBM-pass streaming select,
+                    ops/pallas_topk — iterative re-reads the ~1.8 GB f32
+                    score matrix k+1 times; this reads it once).
         """
         self.config = config
         self.mesh = mesh
@@ -135,7 +141,7 @@ class RetrieveRefineEngine:
         from retrieval_fuse_tpu.ops.knn import use_streaming_knn
         self.streaming_knn = (use_streaming_knn(self.database.shape[0])
                               if streaming_knn is None else bool(streaming_knn))
-        assert topk_impl in ("iterative", "approx", "top_k"), topk_impl
+        assert topk_impl in ("iterative", "approx", "top_k", "pallas1p"), topk_impl
         self.topk_impl = topk_impl
         # patch_bank may be None when a feature bank is supplied directly
         # (serving never touches the raw tiles then)
@@ -155,7 +161,14 @@ class RetrieveRefineEngine:
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
 
         self.fused_decoder = None
-        if use_packed_decoder:
+        if use_packed_decoder == "decomposed":
+            # parity-decomposed second conv: full MXU lanes at 4.6x useful
+            # FLOPs (vs 8x effective for packed OR 16-lane unpacked) — the
+            # roofline's cheapest pure-XLA decoder (ROOFLINE.md)
+            from retrieval_fuse_tpu.ops.fused_decoder import DecomposedPackedDecoder
+            self.fused_decoder = DecomposedPackedDecoder(
+                self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
+        elif use_packed_decoder:
             from retrieval_fuse_tpu.ops.fused_decoder import PackedFinalDecoder
             self.fused_decoder = PackedFinalDecoder(
                 self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
@@ -259,6 +272,12 @@ class RetrieveRefineEngine:
                 _, top_idx = jax.lax.approx_max_k(sims, self.K, recall_target=1.0)
             elif self.topk_impl == "top_k":
                 _, top_idx = jax.lax.top_k(sims, self.K)
+            elif self.topk_impl == "pallas1p":
+                # one streaming HBM pass over the score matrix (vs k+1 for
+                # iterative); identical indices incl. tie order
+                from retrieval_fuse_tpu.ops.pallas_topk import pallas_topk
+                _, top_idx = pallas_topk(
+                    sims, self.K, interpret=jax.default_backend() != "tpu")
             else:
                 # identical results to lax.top_k, ~8x cheaper on TPU (ops/knn)
                 from retrieval_fuse_tpu.ops.knn import iterative_topk

@@ -75,3 +75,40 @@ def test_packed_final_decoder_equals_flax():
     got = np.asarray(packed(jnp.asarray(x)))
     assert got.shape == ref.shape == (2, 32, 32, 32, 1)
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_decomposed_conv2_equals_fullres_conv():
+    """The 8 parity-decomposed sub-grid convs summed == SAME conv on the
+    full-res grid, including zero-padding boundaries."""
+    from retrieval_fuse_tpu.ops.fused_decoder import decomposed_conv2_kernels
+    rng = np.random.default_rng(4)
+    c_in, c_out, s = 3, 5, 8
+    w = rng.standard_normal((3, 3, 3, c_in, c_out)).astype(np.float32)
+    x = rng.standard_normal((2, s, s, s, c_in)).astype(np.float32)
+    dn = jax.lax.conv_dimension_numbers((1, 1, 1, 1, 1), (1, 1, 1, 1, 1),
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+    ref = jax.lax.conv_general_dilated(jnp.asarray(x), jnp.asarray(w), (1, 1, 1),
+                                       [(1, 1)] * 3, dimension_numbers=dn)
+    h = s // 2
+    kernels, pads = decomposed_conv2_kernels(w)
+    out = 0.0
+    import itertools
+    for (kern, pad), sub in zip(zip(kernels, pads),
+                                itertools.product((0, 1), repeat=3)):
+        x_s = jnp.asarray(x[:, sub[0]::2, sub[1]::2, sub[2]::2])  # (B, h³, C)
+        out = out + jax.lax.conv_general_dilated(
+            x_s, jnp.asarray(kern), (1, 1, 1), list(pad), dimension_numbers=dn)
+    got = depth_to_space_2x(out, c_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_decomposed_packed_decoder_equals_flax():
+    from retrieval_fuse_tpu.ops.fused_decoder import DecomposedPackedDecoder
+    nf = 4
+    dec = Superresolution08FinalDecoder(nf=nf, layer_order="gcr")
+    x = np.random.default_rng(5).standard_normal((2, 16, 16, 16, nf)).astype(np.float32)
+    v = dec.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = np.asarray(dec.apply(v, jnp.asarray(x)))
+    got = np.asarray(DecomposedPackedDecoder(v["params"], nf=nf)(jnp.asarray(x)))
+    assert got.shape == ref.shape == (2, 32, 32, 32, 1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -178,6 +178,18 @@ def test_packed_decoder_engine_equals_flax(setup):
     np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
 
 
+def test_decomposed_decoder_engine_equals_flax(setup):
+    """Serving with the parity-decomposed second conv (the bench 'dconv'
+    variant) must reproduce the flax-decoder engine."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_d = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True,
+                                 use_packed_decoder="decomposed")
+    np.testing.assert_allclose(np.asarray(eng_d(x)), np.asarray(eng(x)), atol=2e-5)
+
+
 def test_pallas_attention_reencode_engine_equals_flax(setup):
     """The Pallas attention path in re-encode (no feature bank) mode — covers
     the volume->attention-patch packing helper."""
@@ -255,12 +267,14 @@ def test_engine_mesh_sharded_fast_variant(setup):
 
 def test_topk_impl_variants_equal(setup):
     """The dense-path top-k select implementations (iterative, approx_max_k
-    recall=1.0, lax.top_k) must produce identical engine outputs."""
+    recall=1.0, lax.top_k, single-pass pallas) must produce identical engine
+    outputs (pallas1p runs interpret-mode on CPU)."""
     params, db, bank, x = setup
     outs = {}
-    for impl in ("iterative", "approx", "top_k"):
+    for impl in ("iterative", "approx", "top_k", "pallas1p"):
         eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
                                    use_feature_bank=True, topk_impl=impl)
         outs[impl] = np.asarray(eng(x))
     np.testing.assert_allclose(outs["approx"], outs["iterative"], atol=2e-5)
     np.testing.assert_allclose(outs["top_k"], outs["iterative"], atol=2e-5)
+    np.testing.assert_allclose(outs["pallas1p"], outs["iterative"], atol=2e-5)

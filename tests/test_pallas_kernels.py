@@ -92,3 +92,26 @@ def test_auto_knn_selects_and_matches(rng):
     i_s, d_s = auto_exact_knn(jnp.asarray(q), jnp.asarray(db), 4, min_rows=1000)
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_d))
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_d), atol=1e-5)
+
+
+def test_pallas_topk_matches_lax(rng):
+    """Single-pass streaming select == lax.top_k (values, indices, tie order)
+    on ragged shapes, duplicate values, and bf16 scores."""
+    import jax
+    from retrieval_fuse_tpu.ops.pallas_topk import pallas_topk
+
+    # ragged rows AND columns (cdiv grids + in-kernel edge masking)
+    sims = rng.standard_normal((70, 1337)).astype(np.float32)
+    # inject exact duplicates so tie-breaking is exercised
+    sims[:, 400] = sims[:, 7]
+    sims[13, :] = 0.5
+    v1, i1 = pallas_topk(jnp.asarray(sims), 4, tile_n=512, tile_q=32, interpret=True)
+    v2, i2 = jax.lax.top_k(jnp.asarray(sims), 4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    # bf16 scores (the serving matmul emits f32, but accept bf16 too)
+    sims_bf = jnp.asarray(sims[:, :1024], jnp.bfloat16)
+    v1, i1 = pallas_topk(sims_bf, 3, tile_n=256, tile_q=64, interpret=True)
+    v2, i2 = jax.lax.top_k(sims_bf.astype(jnp.float32), 3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
