@@ -84,11 +84,16 @@ LADDER_GROUPS = [
        #    Experimental rows AFTER the proven ones so a failure can't cost
        #    them; combined row first among the experiments — if it compiles
        #    it should be the new headline.
+       #    fbb = fused backbone (fused upsample-convs + decomposed final
+       #    conv — kills the 16-lane up1 convs, the backbone's dominant
+       #    effective cost).
         ("simple", 256, "fused+pallasp"),
         ("chained", 256, "fused+pallasp"),
-        ("simple", 256, "fused+pallasp+topk1p+dconv"),
+        ("simple", 256, "fused+pallasp+topk1p+dconv+fbb"),
+        ("chained", 256, "fused+pallasp+topk1p+dconv+fbb"),
         ("simple", 256, "fused+pallasp+topk1p"),
         ("simple", 256, "fused+pallasp+dconv"),
+        ("simple", 256, "fused+pallasp+fbb"),
     ],
 ]
 GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))
@@ -198,6 +203,7 @@ def build_engine(cfg, params, db, feature_bank, variant, compute_dtype):
         use_fused_decoder="fused" in variant or "packed" in variant,
         use_packed_decoder=("decomposed" if "dconv" in variant
                             else "packed" in variant),
+        use_fused_backbone="fbb" in variant,
         topk_impl=("approx" if "approxk" in variant
                    else "pallas1p" if "topk1p" in variant else "iterative"))
 

@@ -51,6 +51,7 @@ class RetrieveRefineEngine:
                  use_pallas_attention: bool = False,
                  use_fused_decoder: bool = False,
                  use_packed_decoder: bool = False,
+                 use_fused_backbone: bool = False,
                  streaming_knn: bool | None = None,
                  topk_impl: str = "iterative"):
         """
@@ -79,6 +80,10 @@ class RetrieveRefineEngine:
                     The string "decomposed" swaps the packed second conv for
                     the parity-decomposed 8-subgrid version (same lanes,
                     ~40% fewer FLOPs — ops/fused_decoder.DecomposedPackedDecoder).
+        use_fused_backbone: run the 08-superresolution backbone's two
+                    upsample stages with fused upsample-convs + the
+                    parity-decomposed final conv (full MXU lanes —
+                    ops/fused_backbone; identical math, 'gcr' order only).
         streaming_knn: None (default) auto-selects the streaming Pallas kNN
                     kernel when the database reaches the measured crossover
                     (ops/knn.use_streaming_knn, >=1M rows — it never
@@ -176,6 +181,18 @@ class RetrieveRefineEngine:
             from retrieval_fuse_tpu.ops.fused_decoder import FusedFinalDecoder
             self.fused_decoder = FusedFinalDecoder(
                 self.params["decoder"], nf=config["nf"], dtype=compute_dtype)
+
+        self.fused_backbone = None
+        if use_fused_backbone:
+            assert dtr["input_chunk_size"] == 8 and config.get(
+                "layer_order", "gcr") == "gcr", (
+                "fused backbone covers the 08-superresolution 'gcr' geometry")
+            from retrieval_fuse_tpu.ops.fused_backbone import FusedSuperres08Backbone
+            self.fused_backbone = FusedSuperres08Backbone(
+                self.params["unet_backbone"], nf=config["nf"],
+                num_levels=config["unet_num_level"],
+                layer_order=config.get("layer_order", "gcr"),
+                dtype=compute_dtype)
 
         # diagnostic ablation switches (bench_ablate.py): components named
         # here are replaced with shape-preserving stand-ins so stage cost can
@@ -329,7 +346,10 @@ class RetrieveRefineEngine:
             x_retrieval = fold3d(feats, r, tps // 2)
         # 3) refinement: backbone + attention fusion + decoder
         x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
-        x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
+        if self.fused_backbone is not None:
+            x_back = self.fused_backbone(params["unet_backbone"]["unet"], x_in)
+        else:
+            x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
         if "attention" in self._ablate:  # stand-in: backbone features pass through
             # tiny data-dependence on the retrieval side keeps XLA from
             # dead-code-eliminating the whole retrieval branch

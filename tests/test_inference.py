@@ -178,6 +178,17 @@ def test_packed_decoder_engine_equals_flax(setup):
     np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
 
 
+def test_fused_backbone_engine_equals_flax(setup):
+    """Serving with the fused backbone (fused upsample-convs + decomposed
+    final conv, the bench 'fbb' variant) must reproduce the flax engine."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_b = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True, use_fused_backbone=True)
+    np.testing.assert_allclose(np.asarray(eng_b(x)), np.asarray(eng(x)), atol=2e-4)
+
+
 def test_decomposed_decoder_engine_equals_flax(setup):
     """Serving with the parity-decomposed second conv (the bench 'dconv'
     variant) must reproduce the flax-decoder engine."""
@@ -263,6 +274,26 @@ def test_engine_mesh_sharded_fast_variant(setup):
     eng_ref = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
                                    use_feature_bank=True)
     np.testing.assert_allclose(out, np.asarray(eng_ref(x)), atol=2e-5)
+
+
+def test_engine_mesh_sharded_combined_variant(setup):
+    """The round-4 combined fast variant (packed-row pallas attention +
+    single-pass pallas top-k + decomposed decoder conv + fused backbone)
+    under a batch sharded over the 8-device mesh must equal the unsharded
+    flax-module engine."""
+    from retrieval_fuse_tpu.parallel.mesh import get_mesh
+    params, db, bank, _ = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, mesh=get_mesh(),
+                               compute_dtype=jnp.float32, use_feature_bank=True,
+                               use_pallas_attention="packedrows",
+                               use_fused_decoder=True,
+                               use_packed_decoder="decomposed",
+                               use_fused_backbone=True, topk_impl="pallas1p")
+    rng = np.random.default_rng(6)
+    x = rng.random((8, 8, 8, 8, 1)).astype(np.float32) * 0.5
+    eng_ref = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                   use_feature_bank=True)
+    np.testing.assert_allclose(np.asarray(eng(x)), np.asarray(eng_ref(x)), atol=2e-4)
 
 
 def test_topk_impl_variants_equal(setup):
