@@ -67,10 +67,11 @@ LADDER_GROUPS = [
        #    feed into the flat kernel). The tiny base@8 leads as evidentiary
        #    insurance: it compiles in ~15 s on a healthy transport, so ANY
        #    later kill/timeout still leaves a nonzero official number.
+       #    Trimmed r4: the fused@128 / fused+pallas@128 rows are superseded
+       #    by the pallasp rows and only burned group-B budget; attribution
+       #    now lives in bench_ablate.py.
         ("simple", 8, "base"),
         ("simple", 128, "fused+pallasp"),
-        ("simple", 128, "fused+pallas"),
-        ("simple", 128, "fused"),
     ],
     [  # B: larger batches (the old layout chain's batch-256 program killed
        #    the remote compile helper r2; the pallasp program compiles —
@@ -193,19 +194,10 @@ def build_data(nf, compute_dtype):
 
 
 def build_engine(cfg, params, db, feature_bank, variant, compute_dtype):
-    from retrieval_fuse_tpu.inference import RetrieveRefineEngine
+    from retrieval_fuse_tpu.inference import RetrieveRefineEngine, variant_engine_kwargs
     return RetrieveRefineEngine(
         cfg, params, db, None, compute_dtype=compute_dtype,
-        feature_bank=feature_bank,
-        use_pallas_attention=("gathered" if "pallasg" in variant
-                              else "packedrows" if "pallasp" in variant
-                              else "pallas" in variant),
-        use_fused_decoder="fused" in variant or "packed" in variant,
-        use_packed_decoder=("decomposed" if "dconv" in variant
-                            else "packed" in variant),
-        use_fused_backbone="fbb" in variant,
-        topk_impl=("approx" if "approxk" in variant
-                   else "pallas1p" if "topk1p" in variant else "iterative"))
+        feature_bank=feature_bank, **variant_engine_kwargs(variant))
 
 
 def build_flagship(compute_dtype=None, use_pallas_attention: bool = False,

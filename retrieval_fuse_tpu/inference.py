@@ -492,6 +492,31 @@ class RetrieveRefineEngine:
         return self._fn(self.params, self.database, self.serving_bank, x)
 
 
+#: the fastest fully-equality-tested serving configuration (bench ladder
+#: group B; every component is output-identical to the flax modules)
+FAST_VARIANT = "fused+pallasp+topk1p+dconv+fbb"
+
+
+def variant_engine_kwargs(variant: str) -> dict:
+    """Shorthand variant string (bench.py ladder / serve --variant) ->
+    RetrieveRefineEngine keyword options.
+
+    Tokens: 'fused' fused decoder; 'packed' packed decoder; 'dconv'
+    parity-decomposed decoder conv2; 'fbb' fused backbone; 'pallas' /
+    'pallasp' / 'pallasg' attention kernel feeds; 'topk1p' / 'approxk'
+    top-k selects. Unknown tokens are ignored ('base' = all defaults)."""
+    return dict(
+        use_pallas_attention=("gathered" if "pallasg" in variant
+                              else "packedrows" if "pallasp" in variant
+                              else "pallas" in variant),
+        use_fused_decoder="fused" in variant or "packed" in variant,
+        use_packed_decoder=("decomposed" if "dconv" in variant
+                            else "packed" in variant),
+        use_fused_backbone="fbb" in variant,
+        topk_impl=("approx" if "approxk" in variant
+                   else "pallas1p" if "topk1p" in variant else "iterative"))
+
+
 def build_patch_bank_from_dataset(dataset, patch_size: int = 16):
     """Offline: tile every train target chunk into 16³ patches -> (N, 16³) bank
     + matching embedding rows are produced by retrieval.dictionary. For the

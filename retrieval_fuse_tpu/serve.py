@@ -133,13 +133,16 @@ def build_engine_from_artifacts(config: dict, retrieval_ckpt, refinement_ckpt,
                                 compute_dtype=None, mesh=None,
                                 use_fused_decoder: bool = False,
                                 use_pallas_attention: bool = False,
+                                variant: str | None = None,
                                 verify_alignment: bool = True):
     """Engine from on-disk artifacts: dictionary database (tree path derived
     from config+retrieval_ckpt like the compose CLI) + train scenes (bank) +
     the two checkpoints. `verify_alignment` re-embeds a bank sample against
-    the database rows before serving (fail-loud on artifact drift)."""
+    the database rows before serving (fail-loud on artifact drift).
+    `variant` is the bench-style shorthand (inference.variant_engine_kwargs,
+    e.g. inference.FAST_VARIANT); it overrides the two boolean kwargs."""
     import jax.numpy as jnp
-    from retrieval_fuse_tpu.inference import RetrieveRefineEngine
+    from retrieval_fuse_tpu.inference import RetrieveRefineEngine, variant_engine_kwargs
 
     compute_dtype = compute_dtype or jnp.bfloat16
     config = dict(config)
@@ -162,11 +165,12 @@ def build_engine_from_artifacts(config: dict, retrieval_ckpt, refinement_ckpt,
 
     # the retrieval patch encoder saw retrieval-config normalization; serving
     # configs may carry it under `retrieval_norm` (defaults to dataset_train's)
+    kwargs = (variant_engine_kwargs(variant) if variant is not None
+              else dict(use_fused_decoder=use_fused_decoder,
+                        use_pallas_attention=use_pallas_attention))
     return RetrieveRefineEngine(
         config, params, database[:, 7:], bank, mesh=mesh,
-        compute_dtype=compute_dtype, use_feature_bank=True,
-        use_fused_decoder=use_fused_decoder,
-        use_pallas_attention=use_pallas_attention)
+        compute_dtype=compute_dtype, use_feature_bank=True, **kwargs)
 
 
 def serve_directory(engine, input_dir, output_dir, batch_size: int = 8,
@@ -208,6 +212,13 @@ def main(argv=None):
     parser.add_argument("--obj", action="store_true", help="also write marching-cubes meshes")
     parser.add_argument("--fused_decoder", action="store_true")
     parser.add_argument("--pallas_attention", action="store_true")
+    parser.add_argument("--variant", type=str, default=None,
+                        help="bench-style variant shorthand, e.g. "
+                             "'fused+pallasp+topk1p+dconv+fbb' (overrides the "
+                             "two boolean flags)")
+    parser.add_argument("--fast", action="store_true",
+                        help="serve with the fastest fully-equality-tested "
+                             "configuration (inference.FAST_VARIANT)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -217,12 +228,17 @@ def main(argv=None):
     if args.K is not None:
         config["K"] = args.K
     config["no_retrievals"] = True  # the engine retrieves on device
+    variant = args.variant
+    if args.fast and variant is None:
+        from retrieval_fuse_tpu.inference import FAST_VARIANT
+        variant = FAST_VARIANT
     engine = build_engine_from_artifacts(
         config, args.retrieval_ckpt, args.refinement_ckpt,
         compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         mesh=mesh_for_batch(args.batch_size),
         use_fused_decoder=args.fused_decoder,
-        use_pallas_attention=args.pallas_attention)
+        use_pallas_attention=args.pallas_attention,
+        variant=variant)
     sh = SceneHandler("val", config) if args.obj else None
     done = serve_directory(engine, args.input, args.output, args.batch_size,
                            write_obj=args.obj, scene_handler=sh)

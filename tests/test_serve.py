@@ -60,6 +60,21 @@ def test_serve_cli_end_to_end(synth_superres_root, tmp_path, monkeypatch):
     trunc = float(rf.scene_handlers["train"].target_trunc)
     assert vol.min() >= -1e-3 and vol.max() <= trunc + 1e-3
 
+    # --fast (inference.FAST_VARIANT: pallasp attention + single-pass top-k
+    # + decomposed decoder conv + fused backbone) must serve IDENTICAL
+    # volumes through the CLI
+    out_fast = tmp_path / "served_fast"
+    done_fast = serve_main(["--config", str(cfg_path),
+                            "--retrieval_ckpt", str(rckpt),
+                            "--refinement_ckpt", str(fckpt),
+                            "--input", str(input_dir), "--output", str(out_fast),
+                            "--batch_size", "4", "--f32", "--K", "2", "--fast"])
+    assert done_fast == done
+    for f in outs:
+        a = np.load(f)["arr"].astype(np.float32)
+        b = np.load(out_fast / f.name)["arr"].astype(np.float32)
+        np.testing.assert_allclose(b, a, atol=5e-4)  # fp16 storage quantum
+
     # bank/database row-alignment guard: desynchronize the embeddings from
     # their rows (as a dictionary built from different scene ordering would)
     # -> engine construction must fail loudly, not serve wrong patches
