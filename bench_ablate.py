@@ -35,7 +35,8 @@ import time
 from bench import (flagship_config, build_params, build_data, build_engine,
                    measure, _enable_compile_cache)
 
-SWEEP = ["none", "topk", "knn", "gather", "attention", "attnkernel", "decoder"]
+SWEEP = ["none", "topk", "knn", "gather", "backbone", "attention",
+         "attnkernel", "decoder"]
 
 
 def run_one(batch: int, variant: str, ablations: tuple[str, ...]) -> float:

@@ -346,7 +346,10 @@ class RetrieveRefineEngine:
             x_retrieval = fold3d(feats, r, tps // 2)
         # 3) refinement: backbone + attention fusion + decoder
         x_in = ((raw_input.astype(jnp.float32) - self.in_mean) / self.in_std).astype(cd)
-        if self.fused_backbone is not None:
+        if "backbone" in self._ablate:  # stand-in: nearest-upsample broadcast
+            up = x_in.repeat(4, axis=1).repeat(4, axis=2).repeat(4, axis=3)
+            x_back = jnp.broadcast_to(up, up.shape[:-1] + (self.nf,)).astype(cd)
+        elif self.fused_backbone is not None:
             x_back = self.fused_backbone(params["unet_backbone"]["unet"], x_in)
         else:
             x_back = self.unet_backbone.apply({"params": params["unet_backbone"]}, x_in)
