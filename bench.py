@@ -88,13 +88,19 @@ LADDER_GROUPS = [
        #    fbb = fused backbone (fused upsample-convs + decomposed final
        #    conv — kills the 16-lane up1 convs, the backbone's dominant
        #    effective cost).
+       #    Measured r4 (first healthy-tunnel window): topk1p@256 = 1740.9
+       #    (+7% over pallasp's 1624.4) -> it LEADS group B; fbb was a wash
+       #    on device (1616.2, the roofline's lane win didn't materialize);
+       #    every dconv program HTTP-500s the remote compile helper
+       #    (tpu_compile_helper exit 1, alone and in combos) -> dconv rows
+       #    are OFF the ladder (diagnostic rerun lives in the r4 measure
+       #    queue, not here, so the driver's budget is never spent on a
+       #    known-failing compile).
+        ("simple", 256, "fused+pallasp+topk1p"),
+        ("chained", 256, "fused+pallasp+topk1p"),
         ("simple", 256, "fused+pallasp"),
         ("chained", 256, "fused+pallasp"),
-        ("simple", 256, "fused+pallasp+topk1p+dconv+fbb"),
-        ("chained", 256, "fused+pallasp+topk1p+dconv+fbb"),
-        ("simple", 256, "fused+pallasp+topk1p"),
-        ("simple", 256, "fused+pallasp+dconv"),
-        ("simple", 256, "fused+pallasp+fbb"),
+        ("simple", 256, "fused+pallasp+topk1p+fbb"),
     ],
 ]
 GROUP_TIMEOUT_S = float(os.environ.get("BENCH_GROUP_TIMEOUT_S", 960))

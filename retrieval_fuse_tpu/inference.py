@@ -495,9 +495,13 @@ class RetrieveRefineEngine:
         return self._fn(self.params, self.database, self.serving_bank, x)
 
 
-#: the fastest fully-equality-tested serving configuration (bench ladder
-#: group B; every component is output-identical to the flax modules)
-FAST_VARIANT = "fused+pallasp+topk1p+dconv+fbb"
+#: the fastest MEASURED serving configuration (bench ladder group B, r4 on
+#: one v5e chip: 1740.9 chunks/sec vs 1624.4 without topk1p; every component
+#: is output-identical to the flax modules). 'dconv' and 'fbb' stay opt-in
+#: tokens: fbb measured as a wash on device, and dconv programs crashed the
+#: remote TPU compiler (HTTP 500) until the explicit-pad rework — neither
+#: has earned the default.
+FAST_VARIANT = "fused+pallasp+topk1p"
 
 
 def variant_engine_kwargs(variant: str) -> dict:

@@ -51,6 +51,23 @@ def fuse_upsample_conv_kernel(w: np.ndarray) -> np.ndarray:
     return fused
 
 
+def fuse_upsample_conv_kernel_jnp(w: jnp.ndarray) -> jnp.ndarray:
+    """Traceable/differentiable twin of fuse_upsample_conv_kernel, for
+    TRAINING-time fusion (models/unet.DecoderNoJoining fused_upsample=True):
+    the rearrangement is a fixed linear map of w built from 216 slice-adds,
+    so gradients flow back to the canonical (3,3,3,Cin,Cout) parameter and
+    checkpoints stay in the unfused layout."""
+    c_in, c_out = w.shape[3], w.shape[4]
+    fused = jnp.zeros((3, 3, 3, c_in, 8 * c_out), w.dtype)
+    for o in itertools.product((0, 1), repeat=3):
+        o_idx = o[0] * 4 + o[1] * 2 + o[2]
+        for k in itertools.product(range(3), repeat=3):
+            d = tuple((oo + kk - 1) // 2 for oo, kk in zip(o, k))
+            fused = fused.at[d[0] + 1, d[1] + 1, d[2] + 1, :,
+                             o_idx * c_out:(o_idx + 1) * c_out].add(w[k[0], k[1], k[2]])
+    return fused
+
+
 def depth_to_space_2x(x: jnp.ndarray, c_out: int) -> jnp.ndarray:
     """(B, D, H, W, 8·C) with o_idx-major channel blocks -> (B, 2D, 2H, 2W, C)."""
     b, d, h, w, _ = x.shape
@@ -239,13 +256,21 @@ class DecomposedPackedDecoder(PackedFinalDecoder):
         self.w2_pads = pads
 
     def _conv2(self, h):
-        """h: packed (B, S³, 8·nf), sub-position-major channel blocks."""
+        """h: packed (B, S³, 8·nf), sub-position-major channel blocks.
+
+        Padding is applied EXPLICITLY (jnp.pad + VALID conv) rather than as
+        conv padding config: the r4 on-device run showed every program
+        carrying the asymmetric-padded even-kernel convs crashes the remote
+        TPU compile helper (HTTP 500, exit 1); an explicit pad fused by XLA
+        sidesteps that lowering while keeping the math identical (pinned by
+        tests/test_fused_decoder.py)."""
         nf = self.nf
         out = None
         for s, (w, pad) in enumerate(zip(self.w2_dec, self.w2_pads)):
             x_s = h[..., s * nf:(s + 1) * nf]
+            x_s = jnp.pad(x_s, ((0, 0),) + tuple(pad) + ((0, 0),))
             y = jax.lax.conv_general_dilated(
-                x_s, w.astype(h.dtype), (1, 1, 1), list(pad),
+                x_s, w.astype(h.dtype), (1, 1, 1), "VALID",
                 dimension_numbers=_DN, preferred_element_type=jnp.float32)
             out = y if out is None else out + y
         return out.astype(h.dtype)

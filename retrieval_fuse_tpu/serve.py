@@ -214,7 +214,7 @@ def main(argv=None):
     parser.add_argument("--pallas_attention", action="store_true")
     parser.add_argument("--variant", type=str, default=None,
                         help="bench-style variant shorthand, e.g. "
-                             "'fused+pallasp+topk1p+dconv+fbb' (overrides the "
+                             "'fused+pallasp+topk1p' (overrides the "
                              "two boolean flags)")
     parser.add_argument("--fast", action="store_true",
                         help="serve with the fastest fully-equality-tested "

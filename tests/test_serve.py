@@ -60,9 +60,9 @@ def test_serve_cli_end_to_end(synth_superres_root, tmp_path, monkeypatch):
     trunc = float(rf.scene_handlers["train"].target_trunc)
     assert vol.min() >= -1e-3 and vol.max() <= trunc + 1e-3
 
-    # --fast (inference.FAST_VARIANT: pallasp attention + single-pass top-k
-    # + decomposed decoder conv + fused backbone) must serve IDENTICAL
-    # volumes through the CLI
+    # --fast (inference.FAST_VARIANT: fused decoder + pallasp attention +
+    # single-pass top-k — the fastest MEASURED configuration) must serve
+    # IDENTICAL volumes through the CLI
     out_fast = tmp_path / "served_fast"
     done_fast = serve_main(["--config", str(cfg_path),
                             "--retrieval_ckpt", str(rckpt),
