@@ -96,6 +96,7 @@ LADDER_GROUPS = [
        #    are OFF the ladder (diagnostic rerun lives in the r4 measure
        #    queue, not here, so the driver's budget is never spent on a
        #    known-failing compile).
+        ("simple", 384, "fused+pallasp+topk1p"),
         ("simple", 256, "fused+pallasp+topk1p"),
         ("chained", 256, "fused+pallasp+topk1p"),
         ("simple", 256, "fused+pallasp"),

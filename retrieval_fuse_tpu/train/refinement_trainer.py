@@ -65,8 +65,12 @@ class RefinementTrainer:
         # TPU perf knobs (off by default for reference-value parity):
         #   mixed_precision: bf16 activations/params inside the step, f32 loss
         #     and optimizer state — keeps the MXU on its fast path;
-        #   remat: rematerialize the retrieval-backbone encode during backprop,
-        #     trading FLOPs for activation memory (larger per-chip batches).
+        #   remat: rematerialize the retrieval-backbone encode AND the final
+        #     decoder during backprop, trading FLOPs for activation memory
+        #     (larger per-chip batches). The decoder's saved jvp residuals on
+        #     the 64³ grid are the phase-3 OOM driver: nf=16 channels-last
+        #     tensors tile-pad 8x on TPU (measured r4: batch 16 needs 15.6 GB
+        #     of HLO temps without decoder remat, >1 chip's HBM).
         self.mixed_precision = bool(config.get("mixed_precision", False))
         self.remat = bool(config.get("remat", False))
         self.K = config["K"]
@@ -212,9 +216,18 @@ class RefinementTrainer:
             return net.apply({"params": params[net_name]}, x, rngs={"gumbel": rng})
         return net.apply({"params": params[net_name]}, x)
 
+    def _apply_decoder(self, params, x):
+        """Final-decoder apply; under remat its jvp residuals (the dominant
+        activation-memory term — 64³ nf-wide tensors that tile-pad 8x) are
+        discarded and recomputed in the backward pass."""
+        decode = lambda p, v: self._apply(p, "decoder", v)
+        if self.remat:
+            decode = jax.checkpoint(decode)
+        return decode(params, x)
+
     def forward_backbone(self, params, batch):
         x = self._apply(params, "unet_backbone", batch["input"])
-        return self._apply(params, "decoder", x)
+        return self._apply_decoder(params, x)
 
     def _encode_shape_volumes(self, params, vol):
         """(N, 64, 64, 64, 1) -> (N, 32, 32, 32, nf) feature volumes via the
@@ -239,7 +252,7 @@ class RefinementTrainer:
         """Attention contrastive features only (phase 2, ref :101-106)."""
         x_ = self._apply(params, "unet_backbone", batch["input"])
         x_target = self._encode_shape_volumes(params, batch["target"])
-        pred_shape_ = self._apply(params, "decoder", x_)
+        pred_shape_ = self._apply_decoder(params, x_)
         occ = self.occupancy_from_prediction(self.network_pred_to_df(pred_shape_))
         return self._attn_get_features(params, x_, x_target, occ)
 
@@ -262,10 +275,10 @@ class RefinementTrainer:
         x = self.patched_attention_block.apply(
             {"params": params["patched_attention_block"]}, x_back, x_retrieval,
             rngs={"gumbel": rng})
-        pred_shape = self._apply(params, "decoder", x)
+        pred_shape = self._apply_decoder(params, x)
         pred_shape_retr = fold3d(
-            self._apply(params, "decoder", unfold3d(x_target, 8)), self.n_fold, 16)
-        pred_shape_back = self._apply(params, "decoder", x_back)
+            self._apply_decoder(params, unfold3d(x_target, 8)), self.n_fold, 16)
+        pred_shape_back = self._apply_decoder(params, x_back)
         occ = self.occupancy_from_prediction(self.network_pred_to_df(pred_shape_back))
         x_attn_fpred, x_attn_ftgt, occupancy_attn = self._attn_get_features(
             params, x_back, x_target, occ)
