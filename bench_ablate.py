@@ -78,32 +78,62 @@ def run_warm_sweep(out_path: str, batch: int, variant: str) -> None:
             out.flush()
 
 
-def main_sweep(batch: int = 128, variant: str = "fused",
-               timeout_s: float = 2400.0):
-    """One warm kill-able subprocess for the whole sweep (hung remote compiles
-    can't be interrupted in-process); harvests streamed rows even on timeout
-    and prints the delta table from whatever completed."""
-    import tempfile
-    here = os.path.abspath(__file__)
-    fd, out_path = tempfile.mkstemp(prefix="ablate_", suffix=".txt")
-    os.close(fd)
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-u", here, "--warm", out_path, str(batch), variant],
-            capture_output=True, text=True, timeout=timeout_s)
-        print("\n".join(proc.stderr.splitlines()[-12:]), flush=True)
-    except subprocess.TimeoutExpired as e:
-        print("# sweep timed out; keeping partial rows", flush=True)
-        if e.stderr:
-            err = e.stderr if isinstance(e.stderr, str) else e.stderr.decode("utf-8", "replace")
-            print("\n".join(err.splitlines()[-12:]), flush=True)
+def _harvest(out_path: str) -> dict:
     results = {}
     with open(out_path) as f:
         for line in f:
             parts = line.split()
             if len(parts) == 2 and not line.startswith("#"):
                 results[parts[0]] = float(parts[1])
+    return results
+
+
+def main_sweep(batch: int = 128, variant: str = "fused",
+               timeout_s: float = 2400.0):
+    """One warm kill-able subprocess for the whole sweep (hung remote compiles
+    can't be interrupted in-process); harvests streamed rows even on timeout
+    and prints the delta table from whatever completed.
+
+    An outer `timeout`/driver SIGTERM must not orphan the warm child (it
+    keeps holding the TPU tunnel — the wedge scenario): the handler kills the
+    child, prints the partial table, and exits. Callers wrapping this in
+    `timeout` should still use a LARGER outer value (e.g. timeout -k 30 2700)
+    so the inner graceful path below normally wins."""
+    import signal
+    import tempfile
+    here = os.path.abspath(__file__)
+    fd, out_path = tempfile.mkstemp(prefix="ablate_", suffix=".txt")
+    os.close(fd)
+    log_path = out_path + ".log"
+    with open(log_path, "w+") as log:
+        proc = subprocess.Popen(
+            [sys.executable, "-u", here, "--warm", out_path, str(batch), variant],
+            stdout=log, stderr=log, text=True)
+
+        def _on_term(signum, frame):
+            del signum, frame
+            if proc.poll() is None:
+                proc.kill()
+            _print_table(_harvest(out_path), batch)
+            sys.exit(0)
+
+        signal.signal(signal.SIGTERM, _on_term)
+        signal.signal(signal.SIGINT, _on_term)
+        try:
+            proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print("# sweep timed out; keeping partial rows", flush=True)
+            proc.kill()
+            proc.wait()
+        log.seek(0)
+        print("\n".join(log.read().splitlines()[-12:]), flush=True)
+    results = _harvest(out_path)
     os.unlink(out_path)
+    os.unlink(log_path)
+    _print_table(results, batch)
+
+
+def _print_table(results: dict, batch: int) -> None:
     if "none" in results:
         full = results["none"]
         ms_full = batch / full * 1000.0 / batch  # ms per chunk

@@ -33,25 +33,36 @@ ITERS = 10
 
 
 def _chained_ms(fn, args, chain_idx: int) -> float:
-    """Chained timing: iteration i+1's input[chain_idx] depends on iteration
-    i's output, so the device executes serially and ONE final value fetch
-    bounds the chain. Pick the SMALLEST input as chain_idx — the chain add
-    costs one extra HBM pass of that operand per iteration."""
+    """Single-dispatch device timing: the iteration loop runs INSIDE jit via
+    lax.scan, with iteration i+1's input[chain_idx] depending on iteration
+    i's output (serial execution, nothing dead-code-eliminated), so per-call
+    host dispatch RTT is paid ONCE per timed window instead of per iteration
+    — the r5 first-cut per-iteration chaining measured 534 ms for a gather
+    whose whole engine batch is 146 ms on a degraded transport. Best of two
+    windows; one warm call first."""
     import jax
-    compiled = jax.jit(fn).lower(*args).compile()
-    out = compiled(*args)
-    out = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(out).reshape(-1)[0])  # warm + true sync
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(ITERS):
-        a = list(args)
-        if prev is not None:
-            bump = (prev.reshape(-1)[0] * 0).astype(a[chain_idx].dtype)
-            a[chain_idx] = a[chain_idx] + bump
-        prev = jax.tree_util.tree_leaves(compiled(*a))[0]
-    float(np.asarray(prev).reshape(-1)[0])
-    return (time.perf_counter() - t0) / ITERS * 1000.0
+    import jax.numpy as jnp
+
+    def scanned(*a):
+        x0 = a[chain_idx]
+
+        def body(carry, _):
+            aa = list(a)
+            aa[chain_idx] = x0 + carry.astype(x0.dtype)
+            leaf = jax.tree_util.tree_leaves(fn(*aa))[0]
+            return leaf.reshape(-1)[0].astype(jnp.float32) * 0.0, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return c
+
+    compiled = jax.jit(scanned).lower(*args).compile()
+    float(compiled(*args))  # warm + true sync (value fetch cannot lie)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(compiled(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / ITERS * 1000.0
 
 
 def tile_major_rows(x):
@@ -147,6 +158,27 @@ def main() -> None:
         fused = xla_attn(xt.reshape(Q * T ** 3, F), pp)
         return rows_to_volume(fused.reshape(Q, T ** 3, F), B)
 
+    def flatg(bank, idx, x):
+        # one flat take at idx·t³+t straight into kernel layout (no swap)
+        bankflat = bank.reshape(-1, F)
+        idx2 = (idx[:, None, :] * T ** 3
+                + jnp.arange(T ** 3, dtype=jnp.int32)[None, :, None])
+        return (bankflat[idx2.reshape(Q * T ** 3, K)]
+                + x.reshape(-1)[0] * 0)
+
+    def g2_fn(group):
+        from retrieval_fuse_tpu.ops.pallas_attention import (
+            pallas_gathered_patch_attention_v2)
+
+        def f(bank, idx, x):
+            xt = tile_major_rows(x)
+            fused = pallas_gathered_patch_attention_v2(
+                xt, bank, idx, theta, phi, K, retrieval_mode=True,
+                sharpness=float(32 * E ** 3 * 4), group=group,
+                interpret=not on_tpu)
+            return rows_to_volume(fused, B)
+        return f
+
     stages = [  # (name, fn, args, chain_idx — smallest input)
         ("gather", gather, (bank_rows, top_idx, x_back), 1),
         ("gswap", gswap, (bank_rows, top_idx, x_back), 1),
@@ -156,8 +188,12 @@ def main() -> None:
         ("kernel[2048]", kernel_fn(2048), (xp0, pp0), 0),
         ("kernel[4096]", kernel_fn(4096), (xp0, pp0), 0),
         ("xla", xla_attn, (xp0, pp0), 0),
+        ("flatg", flatg, (bank_rows, top_idx, x_back), 1),
         ("full", full, (bank_rows, top_idx, x_back), 1),
         ("full_xla", full_xla, (bank_rows, top_idx, x_back), 1),
+        ("g2[8]", g2_fn(8), (bank_rows, top_idx, x_back), 1),
+        ("g2[16]", g2_fn(16), (bank_rows, top_idx, x_back), 1),
+        ("g2[32]", g2_fn(32), (bank_rows, top_idx, x_back), 1),
     ]
     for name, fn, args, ci in stages:
         try:

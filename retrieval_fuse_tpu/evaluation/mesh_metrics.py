@@ -11,8 +11,10 @@ Functional parity with reference util/mesh_metrics.py:
   * mesh cropping via box-plane slicing (ref :244-271).
 
 Mesh ops come from evaluation/mesh.py (no trimesh dependency); mesh
-voxelization is approximated by dense surface sampling (documented
-deviation — converges to trimesh's shell voxelization).
+voxelization uses the exact triangle-box SAT shell voxelizer
+(native/voxelize.cpp, default exact=True in evaluation/mesh.py) — it matches
+trimesh's shell voxelization cell-for-cell; the dense-sampling approximation
+remains only as the exact=False fallback.
 """
 
 from __future__ import annotations

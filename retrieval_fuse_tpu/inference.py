@@ -32,6 +32,8 @@ forward (trainer/train_refinement.py:108-120).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,7 @@ from retrieval_fuse_tpu.models import (
     get_retrieval_networks, get_unet_backbone, get_decoder, get_retrieval_backbone,
     get_attention_block)
 from retrieval_fuse_tpu.ops.fold3d import unfold3d, fold3d
+from retrieval_fuse_tpu.ops.knn import use_streaming_knn as _use_streaming
 
 
 class RetrieveRefineEngine:
@@ -52,6 +55,7 @@ class RetrieveRefineEngine:
                  use_fused_decoder: bool = False,
                  use_packed_decoder: bool = False,
                  use_fused_backbone: bool = False,
+                 packedrows_flat_gather: bool = False,
                  streaming_knn: bool | None = None,
                  topk_impl: str = "iterative"):
         """
@@ -79,7 +83,10 @@ class RetrieveRefineEngine:
                     channels, full MXU lanes end-to-end; implies fused).
                     The string "decomposed" swaps the packed second conv for
                     the parity-decomposed 8-subgrid version (same lanes,
-                    ~40% fewer FLOPs — ops/fused_decoder.DecomposedPackedDecoder).
+                    ~40% fewer FLOPs — ops/fused_decoder.DecomposedPackedDecoder);
+                    "compact" runs conv2+head+tanh as ONE Pallas kernel via
+                    in-VMEM 4³ im2col (full lanes at 2.37x FLOPs, zero (2S)³
+                    HBM intermediates — ops/pallas_decoder.CompactPackedDecoder).
         use_fused_backbone: run the 08-superresolution backbone's two
                     upsample stages with fused upsample-convs + the
                     parity-decomposed final conv (full MXU lanes —
@@ -126,7 +133,27 @@ class RetrieveRefineEngine:
         # 256-byte-contiguous granularity instead of the 12-d nf-granular
         # pack transpose; the fastest measured variant)
         self.pallas_gathered = use_pallas_attention == "gathered"
+        # "gathered2": GROUP tiles per grid step + double-buffered manual
+        # row DMAs — the r5 rework of the grid-overhead-bound v1; replaces
+        # the packedrows XLA gather AND the K/t³ swap with indexed reads
+        self.pallas_gathered2 = use_pallas_attention == "gathered2"
         self.pallas_packedrows = use_pallas_attention == "packedrows"
+        # "phibank": no attention kernel at all — the phi MLP over the STATIC
+        # bank is precomputed at engine build (phi is ~80% of the attention
+        # GEMM FLOPs and all of the 16 KB-row candidate traffic). Serving
+        # runs theta(x), gathers (Q, K) small phi-feature rows (~4 KB each,
+        # cf_feat=32), scores/selects on the VPU, then gathers exactly ONE
+        # selected 256 B patch row per output patch — hard selection touches
+        # a single candidate, so the other K-1 rows never cross HBM.
+        self.pallas_phibank = use_pallas_attention == "phibank"
+        # flat gather: index bank.reshape(N·t³, F) at idx·t³+t so the gather
+        # lands DIRECTLY in the kernel's (Q·t³, K, F) layout — same bytes,
+        # 256 B granules instead of 16 KB rows + the 2.14 GB swap transpose
+        self.packedrows_flat = bool(packedrows_flat_gather)
+        # 32 measured fastest in the r5 group sweep (2025.0 vs 2018.2 @16,
+        # 2010.9 @8 chunks/sec @256) — DMA depth amortizes grid overhead;
+        # VMEM stays well inside the window (p_buf 2·32·K·16 KB = 4 MB)
+        self.attn_gather_group = int(os.environ.get("RF_ATTN_GATHER_GROUP", 32))
         self.use_pallas_attention = bool(use_pallas_attention)
         if use_pallas_attention:
             # the fused kernel implements the shipped attention variant
@@ -134,6 +161,10 @@ class RetrieveRefineEngine:
                 "attn_no_output_mapping", True) and config.get("attn_blend", True), (
                 "pallas attention covers the shipped config "
                 "(normalize + no_output_mapping + blend)")
+        if self.pallas_phibank:
+            assert config.get("attn_retrieval_mode", True), (
+                "phibank serving implements hard selection; the sharp-softmax "
+                "variant blends all K candidate rows — use pallasg2/pallasp")
         self.attn_extent = config.get("attn_patch_extent", 4) // 2
         self.attn_num_patch = config.get("attn_num_patch", 16)
         self.attn_retrieval_mode = config.get("attn_retrieval_mode", True)
@@ -143,9 +174,9 @@ class RetrieveRefineEngine:
             lambda x: x.astype(compute_dtype) if hasattr(x, "astype") else x, t)
         self.params = cast(params)
         self.database = jnp.asarray(database, compute_dtype)
-        from retrieval_fuse_tpu.ops.knn import use_streaming_knn
-        self.streaming_knn = (use_streaming_knn(self.database.shape[0])
-                              if streaming_knn is None else bool(streaming_knn))
+        # None = auto: resolved per trace in _pipeline, where the query batch
+        # (B·R³) is known — the r5 crossover is query-aware (ops/knn.py)
+        self.streaming_knn = streaming_knn if streaming_knn is None else bool(streaming_knn)
         assert topk_impl in ("iterative", "approx", "top_k", "pallas1p"), topk_impl
         self.topk_impl = topk_impl
         # patch_bank may be None when a feature bank is supplied directly
@@ -166,7 +197,15 @@ class RetrieveRefineEngine:
         self.target_trunc = float(_np.float16(dtr["voxel_size_target"] * 3).astype(_np.float32))
 
         self.fused_decoder = None
-        if use_packed_decoder == "decomposed":
+        if use_packed_decoder == "compact":
+            # Pallas packed conv2+head: in-VMEM 4³ im2col GEMM (64·nf
+            # contraction, full lanes, 2.37x FLOPs) — no (2S)³ HBM
+            # intermediates at all (ops/pallas_decoder.py)
+            from retrieval_fuse_tpu.ops.pallas_decoder import CompactPackedDecoder
+            self.fused_decoder = CompactPackedDecoder(
+                self.params["decoder"], nf=config["nf"], dtype=compute_dtype,
+                interpret=jax.default_backend() != "tpu")
+        elif use_packed_decoder == "decomposed":
             # parity-decomposed second conv: full MXU lanes at 4.6x useful
             # FLOPs (vs 8x effective for packed OR 16-lane unpacked) — the
             # roofline's cheapest pure-XLA decoder (ROOFLINE.md)
@@ -209,13 +248,15 @@ class RetrieveRefineEngine:
             # raw tiles are not referenced by the feature-bank pipeline;
             # release their HBM (keeps batch headroom for large B)
             self.patch_bank = None
-        if self.pallas_gathered or self.pallas_packedrows:
+        if (self.pallas_gathered or self.pallas_gathered2
+                or self.pallas_packedrows or self.pallas_phibank):
             assert self.feature_bank is not None, (
-                "gathered/packedrows pallas attention requires the feature bank")
+                "gathered/packedrows/phibank attention requires the feature bank")
             from retrieval_fuse_tpu.ops.pallas_attention import pack_tile_rows
             # one-time offline repack: bank rows become ready attention-patch
             # rows; the raw-layout feature bank is no longer needed
             self.feature_bank = pack_tile_rows(self.feature_bank, self.attn_extent)
+        self.phi_bank = self._precompute_phi_bank() if self.pallas_phibank else None
         self._fn = jax.jit(self._pipeline)
 
     def _precompute_feature_bank(self, batch: int = 4096) -> jnp.ndarray:
@@ -234,6 +275,38 @@ class RetrieveRefineEngine:
             else:
                 outs.append(apply(self.params["retrieval_backbone"], chunk))
         return jnp.concatenate(outs, axis=0)
+
+    def _precompute_phi_bank(self, batch: int = 131072) -> jnp.ndarray:
+        """Normalized phi-MLP features of every bank attention patch:
+        (N, T, F) packed rows -> (N, T, cf_feat) f32, computed ONCE at engine
+        build with exactly the fused kernels' math (ops/pallas_attention._mlp:
+        GEMMs in the bank dtype with f32 accumulation, f32 biases, f32
+        normalization) so serving scores match the kernel paths."""
+        from retrieval_fuse_tpu.ops.pallas_attention import _mlp
+        blk = self.params["patched_attention_block"]["attention_blocks_layer"]
+        phi = {layer: {"kernel": jnp.asarray(blk["phi"][layer]["kernel"]),
+                       "bias": jnp.asarray(blk["phi"][layer]["bias"], jnp.float32)}
+               for layer in ("fc0", "fc1", "fc2", "out")}
+        n, t, f = self.feature_bank.shape
+        rows = self.feature_bank.reshape(n * t, f)
+
+        def embed(w, r):
+            v = _mlp(r, w)
+            return v / jnp.maximum(
+                jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True)), 1e-12)
+
+        apply = jax.jit(embed)
+        bs = min(batch, rows.shape[0])
+        outs = []
+        for s in range(0, rows.shape[0], bs):
+            chunk = rows[s: s + bs]
+            if chunk.shape[0] < bs:  # pad the tail to keep ONE compiled shape
+                pad = bs - chunk.shape[0]
+                chunk = jnp.concatenate([chunk, jnp.zeros((pad, f), chunk.dtype)])
+                outs.append(apply(phi, chunk)[: bs - pad])
+            else:
+                outs.append(apply(phi, chunk))
+        return jnp.concatenate(outs, 0).reshape(n, t, -1)
 
     # ------------------------------------------------------------- pipeline
 
@@ -258,8 +331,12 @@ class RetrieveRefineEngine:
 
     def _pipeline(self, params, database, bank, raw_input):
         """bank is the feature bank (N, 8, 8, 8, nf) in feature-bank mode,
-        else the raw patch bank (N, 16, 16, 16)."""
+        else the raw patch bank (N, 16, 16, 16). In phibank mode it is the
+        (packed_rows, phi_bank) tuple."""
         cd = self.compute_dtype
+        phi_bank = None
+        if self.pallas_phibank:
+            bank, phi_bank = bank
         b = raw_input.shape[0]
         r = self.n_fold
         # 1) retrieval: encode input patches, exact kNN
@@ -274,13 +351,22 @@ class RetrieveRefineEngine:
         elif "knn" in self._ablate:  # stand-in: skip matmul+select entirely
             top_idx = jnp.broadcast_to(
                 jnp.arange(self.K, dtype=jnp.int32)[None, :], (z.shape[0], self.K))
-        elif self.streaming_knn:
-            # million-row corpora: stream database tiles through VMEM, never
-            # materializing the (Q, N) score matrix (identical indices; the
-            # measured crossover picks this automatically at >=1M rows)
+        elif (self.streaming_knn if self.streaming_knn is not None
+              else _use_streaming(database.shape[0], n_queries=z.shape[0])):
+            # stream database tiles through VMEM, never materializing the
+            # (Q, N) score matrix (identical indices). Auto-selected for
+            # million-row corpora AND for large query batches at ShapeNet
+            # scale — measured r5 (bench_knn27k): tuned tiles beat the best
+            # dense select 6.33 vs 9.74 ms at Q=16384, N=27,132
+            from retrieval_fuse_tpu.ops.knn import (
+                PALLAS_KNN_MIN_ROWS, SERVING_KNN_TILES)
             from retrieval_fuse_tpu.ops.pallas_knn import pallas_exact_knn
+            tile_q, tile_n = (SERVING_KNN_TILES
+                              if database.shape[0] < PALLAS_KNN_MIN_ROWS
+                              else (512, 2048))
             top_idx, _ = pallas_exact_knn(
                 z.astype(jnp.float32), database.astype(jnp.float32), self.K,
+                tile_n=tile_n, tile_q=tile_q,
                 interpret=jax.default_backend() != "tpu")
         else:
             sims = jnp.dot(z, database.T, preferred_element_type=jnp.float32)
@@ -308,7 +394,9 @@ class RetrieveRefineEngine:
 
         attn_patches = None  # (B·R³, K, F) kernel-ready layout (pallas path)
         if self.feature_bank is not None and (self.pallas_gathered
-                                             or self.pallas_packedrows):
+                                             or self.pallas_gathered2
+                                             or self.pallas_packedrows
+                                             or self.pallas_phibank):
             # 2a') no gather at all: the attention kernel will DMA bank rows
             # by top-k index itself (scalar-prefetch index maps)
             x_retrieval = None
@@ -363,13 +451,42 @@ class RetrieveRefineEngine:
             # stand-in: keep the gather/pack/fold LAYOUT work, drop the
             # attention MLP/selection compute (mean over K is a tiny VPU op)
             # — splits the attention complex into layout vs kernel cost
-            ap = (attn_patches if attn_patches is not None
-                  else self._pack_volumes_for_attention(x_retrieval))
-            e = self.attn_extent
-            cheap = ap.astype(jnp.float32).mean(axis=1).reshape(-1, e, e, e, self.nf)
-            fused = x_back + 1e-6 * fold3d(cheap, self.attn_num_patch, e).astype(cd)
+            if self.pallas_packedrows and self.feature_bank is not None:
+                # pallasp layout: tile-major x relayout + packed-row gather +
+                # K/t³ swap + volume restore (exactly what the kernel path
+                # does around pallas_patch_attention)
+                xt = self._tile_major_rows(x_back)
+                g = bank[top_idx]
+                pp = g.transpose(0, 2, 1, 3)
+                cheap = (xt.astype(jnp.float32)
+                         + 1e-6 * pp.astype(jnp.float32).mean(axis=2).reshape(xt.shape))
+                fused = self._rows_to_volume(cheap.astype(cd), x_back.shape[0])
+            elif self.pallas_phibank and self.feature_bank is not None:
+                # phibank layout: tile-major x relayout + phi-row gather +
+                # one selected-row gather (sel pinned to candidate 0) —
+                # exactly the layout work around the score/select math
+                xt = self._tile_major_rows(x_back)
+                q, t_rows, f = xt.shape
+                pf = phi_bank[top_idx]                       # (Q, K, T, C)
+                flat = bank.reshape(-1, f)
+                src = (top_idx[:, :1].astype(jnp.int32) * t_rows
+                       + jnp.arange(t_rows, dtype=jnp.int32)[None, :])
+                p0 = flat[src.reshape(-1)].reshape(q, t_rows, f)
+                cheap = (xt.astype(jnp.float32) + 1e-6 * p0.astype(jnp.float32)
+                         + 1e-9 * pf.astype(jnp.float32).mean(axis=(1, 3))[..., None])
+                fused = self._rows_to_volume(cheap.astype(cd), x_back.shape[0])
+            else:
+                ap = (attn_patches if attn_patches is not None
+                      else self._pack_volumes_for_attention(x_retrieval))
+                e = self.attn_extent
+                cheap = ap.astype(jnp.float32).mean(axis=1).reshape(-1, e, e, e, self.nf)
+                fused = x_back + 1e-6 * fold3d(cheap, self.attn_num_patch, e).astype(cd)
+        elif self.pallas_phibank and self.feature_bank is not None:
+            fused = self._phibank_attention(params, x_back, bank, phi_bank, top_idx)
         elif self.pallas_packedrows and self.feature_bank is not None:
             fused = self._pallas_packedrows_attention(params, x_back, bank, top_idx)
+        elif self.pallas_gathered2 and self.feature_bank is not None:
+            fused = self._pallas_gathered2_attention(params, x_back, bank, top_idx)
         elif self.pallas_gathered and self.feature_bank is not None:
             fused = self._pallas_gathered_attention(params, x_back, bank, top_idx)
         elif self.use_pallas_attention:
@@ -442,14 +559,76 @@ class RetrieveRefineEngine:
         blk = params["patched_attention_block"]["attention_blocks_layer"]
         q, t_rows, f = top_idx.shape[0], bank_rows.shape[1], bank_rows.shape[2]
         xt = self._tile_major_rows(x_back)                       # (Q, t³, F)
-        g = bank_rows[top_idx]                                   # (Q, K, t³, F)
-        pp = g.transpose(0, 2, 1, 3).reshape(q * t_rows, self.K, f)
+        if self.packedrows_flat:
+            # one flat take straight into kernel layout: row (q,t) candidate
+            # k reads bankflat[idx[q,k]·t³ + t] — no (Q, K, t³, F)
+            # intermediate, no swap transpose
+            bankflat = bank_rows.reshape(-1, f)
+            idx2 = (top_idx.astype(jnp.int32)[:, None, :] * t_rows
+                    + jnp.arange(t_rows, dtype=jnp.int32)[None, :, None])
+            pp = bankflat[idx2.reshape(q * t_rows, self.K)]
+        else:
+            g = bank_rows[top_idx]                               # (Q, K, t³, F)
+            pp = g.transpose(0, 2, 1, 3).reshape(q * t_rows, self.K, f)
         fused = pallas_patch_attention(
             xt.reshape(q * t_rows, f), pp, blk["theta"], blk["phi"], self.K,
             retrieval_mode=self.attn_retrieval_mode,
             sharpness=float(32 * self.attn_extent ** 3 * 4),
             interpret=_jax.default_backend() != "tpu")
         return self._rows_to_volume(fused.reshape(q, t_rows, f), x_back.shape[0])
+
+    def _phibank_attention(self, params, x_back, bank_rows, phi_bank, top_idx):
+        """Attention with NO serving-time kernel: scores come from the
+        offline phi bank. theta embeds the backbone patches (the only MLP
+        left at serve time — phi over the static bank was precomputed at
+        engine build); scores and hard selection run on the VPU over the
+        gathered (Q, K, T, C) phi rows (C = cf_feat: ~4 KB per row instead
+        of 16 KB candidate rows); the blend gathers exactly ONE selected
+        patch row per output patch. Same math as AttentionBlock with
+        deterministic_selection (models/attention.py:115-151, ref
+        model/attention.py:49-116): the hard one-hot reads a single
+        candidate, so the other K-1 rows never cross HBM."""
+        from retrieval_fuse_tpu.ops.pallas_attention import _mlp
+        blk = params["patched_attention_block"]["attention_blocks_layer"]
+        theta = {layer: {"kernel": blk["theta"][layer]["kernel"],
+                         "bias": blk["theta"][layer]["bias"].astype(jnp.float32)}
+                 for layer in ("fc0", "fc1", "fc2", "out")}
+        xt = self._tile_major_rows(x_back)                        # (Q, T, F)
+        q, t_rows, f = xt.shape
+        xf = _mlp(xt.reshape(q * t_rows, f), theta)               # (QT, C) f32
+        xf = xf / jnp.maximum(
+            jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True)), 1e-12)
+        c = xf.shape[-1]
+        pf = phi_bank[top_idx]                                    # (Q, K, T, C)
+        s = jnp.sum(xf.reshape(q, 1, t_rows, c) * pf, axis=-1)    # (Q, K, T)
+        s = s.transpose(0, 2, 1).reshape(q * t_rows, self.K)      # (QT, K)
+        switch = jnp.maximum(jnp.max(s, axis=1, keepdims=True), 0.0)
+        sel = jnp.argmax(s * 25.0, axis=1).astype(jnp.int32).reshape(q, t_rows)
+        src = jnp.take_along_axis(top_idx.astype(jnp.int32), sel, axis=1)
+        flat = bank_rows.reshape(-1, f)
+        p_sel = flat[(src * t_rows
+                      + jnp.arange(t_rows, dtype=jnp.int32)[None, :]).reshape(-1)]
+        fused = (xt.reshape(q * t_rows, f).astype(jnp.float32) * (1.0 - switch)
+                 + p_sel.astype(jnp.float32) * switch)
+        return self._rows_to_volume(
+            fused.astype(self.compute_dtype).reshape(q, t_rows, f), x_back.shape[0])
+
+    def _pallas_gathered2_attention(self, params, x_back, bank_rows, top_idx):
+        """Fused gather+attention v2: GROUP tiles per grid step, the kernel
+        double-buffers explicit bank-row DMAs behind the MXU — no XLA gather,
+        no K/t³ swap, no (Q, K, t³, F) intermediate in HBM at all."""
+        import jax as _jax
+        from retrieval_fuse_tpu.ops.pallas_attention import (
+            pallas_gathered_patch_attention_v2)
+        blk = params["patched_attention_block"]["attention_blocks_layer"]
+        xt = self._tile_major_rows(x_back)
+        fused_rows = pallas_gathered_patch_attention_v2(
+            xt, bank_rows, top_idx, blk["theta"], blk["phi"], self.K,
+            retrieval_mode=self.attn_retrieval_mode,
+            sharpness=float(32 * self.attn_extent ** 3 * 4),
+            group=self.attn_gather_group,
+            interpret=_jax.default_backend() != "tpu")
+        return self._rows_to_volume(fused_rows, x_back.shape[0])
 
     def _pallas_gathered_attention(self, params, x_back, bank_rows, top_idx):
         """Fused gather+attention: the kernel streams retrieved bank tiles to
@@ -482,8 +661,10 @@ class RetrieveRefineEngine:
         return fold3d(fused.reshape(-1, e, e, e, nf), r, e)
 
     @property
-    def serving_bank(self) -> jnp.ndarray:
+    def serving_bank(self):
         """The bank argument `_pipeline` expects in the current mode."""
+        if self.pallas_phibank:
+            return (self.feature_bank, self.phi_bank)
         return self.feature_bank if self.feature_bank is not None else self.patch_bank
 
     def __call__(self, raw_input_chunks) -> jnp.ndarray:
@@ -495,31 +676,46 @@ class RetrieveRefineEngine:
         return self._fn(self.params, self.database, self.serving_bank, x)
 
 
-#: the fastest MEASURED serving configuration (bench ladder group B, r4 on
-#: one v5e chip: 1740.9 chunks/sec vs 1624.4 without topk1p; every component
-#: is output-identical to the flax modules). 'dconv' and 'fbb' stay opt-in
-#: tokens: fbb measured as a wash on device, and dconv programs crashed the
-#: remote TPU compiler (HTTP 500) until the explicit-pad rework — neither
-#: has earned the default.
-FAST_VARIANT = "fused+pallasp+topk1p"
+#: the fastest MEASURED serving configuration (bench ladder group B, r5 on
+#: one v5e chip: 2048.4 chunks/sec @384 official-style vs 1824.2 for the r4
+#: pallasp default; every component is output-identical to the flax
+#: modules). 'dconv', 'fbb', 'flatg' and 'phib' stay opt-in tokens — each
+#: measured slower on device (BENCH_NOTES r5); 'cdec' is pending its first
+#: hardware verdict.
+FAST_VARIANT = "fused+pallasg2+topk1p"
 
 
 def variant_engine_kwargs(variant: str) -> dict:
     """Shorthand variant string (bench.py ladder / serve --variant) ->
     RetrieveRefineEngine keyword options.
 
-    Tokens: 'fused' fused decoder; 'packed' packed decoder; 'dconv'
-    parity-decomposed decoder conv2; 'fbb' fused backbone; 'pallas' /
-    'pallasp' / 'pallasg' attention kernel feeds; 'topk1p' / 'approxk'
-    top-k selects. Unknown tokens are ignored ('base' = all defaults)."""
+    Tokens: 'fused' fused decoder; 'packed' packed decoder; 'cdec' Pallas
+    compact packed decoder (in-VMEM im2col conv2+head, no (2S)³ HBM
+    intermediates); 'dconv' parity-decomposed decoder conv2; 'fbb' fused
+    backbone; 'pallas' /
+    'pallasp' / 'pallasg' / 'pallasg2' attention kernel feeds ('pallasg2' =
+    multi-tile double-buffered DMA gather fused into the kernel); 'phib' =
+    kernel-free attention from the offline phi bank (theta + small phi-row
+    gather + single selected-row gather); 'flatg' swaps pallasp's
+    gather+swap for the one-take flat gather; 'topk1p' / 'approxk'
+    top-k selects; 'streamknn' / 'denseknn' force the streaming fused
+    score+select on/off (auto is query-aware since r5: streaming at Q>=8192,
+    N>=16384 — the tokens pin each side for A/B rows).
+    Unknown tokens are ignored ('base' = all defaults)."""
     return dict(
-        use_pallas_attention=("gathered" if "pallasg" in variant
+        use_pallas_attention=("phibank" if "phib" in variant
+                              else "gathered2" if "pallasg2" in variant
+                              else "gathered" if "pallasg" in variant
                               else "packedrows" if "pallasp" in variant
                               else "pallas" in variant),
         use_fused_decoder="fused" in variant or "packed" in variant,
-        use_packed_decoder=("decomposed" if "dconv" in variant
+        use_packed_decoder=("compact" if "cdec" in variant
+                            else "decomposed" if "dconv" in variant
                             else "packed" in variant),
         use_fused_backbone="fbb" in variant,
+        packedrows_flat_gather="flatg" in variant,
+        streaming_knn=(True if "streamknn" in variant
+                       else False if "denseknn" in variant else None),
         topk_impl=("approx" if "approxk" in variant
                    else "pallas1p" if "topk1p" in variant else "iterative"))
 

@@ -194,11 +194,43 @@ class Encoder(nn.Module):
                    num_groups=self.num_groups, name="basic_module")(x, train)
 
 
+class TorchConvTranspose2x(nn.Module):
+    """torch ConvTranspose3d(k=3, s=2, p=1) called with output_size=2D
+    (output_padding auto-resolves to 1), written as its exact correlation
+    equivalent: 2x input dilation + (1, 2) edge padding + VALID 3³ conv.
+
+    The kernel param is stored in CORRELATION layout (kD, kH, kW, in, out) —
+    torch_import.conv_transpose_w flips/transposes the torch (in, out, kD,
+    kH, kW) transposed-conv weight into it; value parity vs the reference is
+    pinned in tests/test_reference_parity.py (ResidualUNet3D). Fresh init
+    matches torch's ConvTranspose3d fan (weight.size(1)·k³ = out·27)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        fan = self.out_channels * 27
+        bound = 1.0 / fan ** 0.5
+        kernel = self.param(
+            "kernel",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (3, 3, 3, in_ch, self.out_channels))
+        bias = self.param("bias", torch_bias_init(fan), (self.out_channels,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1, 1),
+            padding=[(1, 2)] * 3, lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return (y + bias).astype(x.dtype)
+
+
 class Decoder(nn.Module):
     """Nearest-upsample to the skip's size + concat + basic module (ref :256-308).
 
     With ExtResNetBlock the reference switches to transposed-conv upsampling and
-    summation joining; that branch is provided for API completeness.
+    summation joining (ResidualUNet3D); parity via TorchConvTranspose2x.
     """
 
     out_channels: int
@@ -209,12 +241,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, encoder_features: jnp.ndarray, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.basic_module == "ExtResNetBlock":
-            in_ch = x.shape[-1]
-            # SAME padding reproduces torch ConvTranspose3d(k=3, s=2, p=1)
-            # called with output_size=2D (output_padding auto-resolved)
-            x = nn.ConvTranspose(self.out_channels, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-                                 padding="SAME", kernel_init=torch_kernel_init,
-                                 bias_init=torch_bias_init(in_ch * 27), name="upconv")(x)
+            x = TorchConvTranspose2x(self.out_channels, name="upconv")(x)
             x = encoder_features + x
         else:
             x = upsample_nearest_2x(x)

@@ -45,6 +45,8 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.mc_extract_classic.restype = ctypes.c_int
+        lib.mc_extract_classic.argtypes = lib.mc_extract.argtypes
         lib.mc_free.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
         lib.voxelize_mesh.restype = None
         lib.voxelize_mesh.argtypes = [
@@ -64,22 +66,27 @@ def get_lib() -> ctypes.CDLL:
     return _lib
 
 
-def marching_cubes(sdf: np.ndarray, level: float):
+def marching_cubes(sdf: np.ndarray, level: float, method: str = "mc"):
     """Isosurface of a 3-D float grid at `level` -> (verts (V,3) f32, tris (T,3) i32).
 
     Vertex coordinates are in voxel-index units (same convention as the
-    reference's mc.marching_cubes). Triangulation is marching tetrahedra —
-    identical isosurface, different (finer) tessellation; documented
-    deviation from classic MC tables.
+    reference's mc.marching_cubes). method:
+      'mc'   classic marching-cubes lookup-table triangulation (the
+             reference extension's algorithm — the parity default);
+      'tets' marching tetrahedra — identical isosurface, ~2x finer
+             tessellation (kept for comparison / as the r1-r4 behavior).
+    Both are watertight with outward normals (tests/test_mesh_deviation.py).
     """
     sdf = np.ascontiguousarray(sdf, dtype=np.float32)
     assert sdf.ndim == 3
+    assert method in ("mc", "tets"), method
     lib = get_lib()
+    extract = lib.mc_extract_classic if method == "mc" else lib.mc_extract
     verts_p = ctypes.POINTER(ctypes.c_float)()
     tris_p = ctypes.POINTER(ctypes.c_int32)()
     n_v = ctypes.c_int()
     n_t = ctypes.c_int()
-    rc = lib.mc_extract(
+    rc = extract(
         sdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         sdf.shape[0], sdf.shape[1], sdf.shape[2], ctypes.c_float(level),
         ctypes.byref(verts_p), ctypes.byref(n_v), ctypes.byref(tris_p), ctypes.byref(n_t))

@@ -27,6 +27,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # with identical indices. Env-overridable for other geometries.
 PALLAS_KNN_MIN_ROWS = int(os.environ.get("RF_PALLAS_KNN_MIN_ROWS", 1_000_000))
 
+# Query-aware second crossover, measured r5 at the SERVING shape (bench_knn27k
+# on a v5e chip; Q=16384, N=27,132, k=4): the streaming kernel with TUNED
+# tiles (tile_q=256, tile_n=4096 — same 4 MB VMEM score block as the r3
+# defaults, 4x fewer database re-reads per query block) beats the best dense
+# select (pallas_topk single-pass) 6.33 vs 9.74 ms. The r3 crossover above
+# was measured with the untuned 512/2048 tiling (9.78 ms at this shape — a
+# wash), which is why it needed 1M rows to win. Dense stays ahead for small
+# query batches, where its one matmul amortizes the score-matrix traffic.
+PALLAS_KNN_MIN_QUERIES = int(os.environ.get("RF_PALLAS_KNN_MIN_QUERIES", 8192))
+PALLAS_KNN_MIN_ROWS_BATCHED = int(
+    os.environ.get("RF_PALLAS_KNN_MIN_ROWS_BATCHED", 16384))
+SERVING_KNN_TILES = (256, 4096)  # (tile_q, tile_n) — the measured winner
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def iterative_topk(sims: jnp.ndarray, k: int):
@@ -64,23 +77,33 @@ def exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int):
     return top_idx, sq_dists
 
 
-def use_streaming_knn(n_rows: int, min_rows: int | None = None) -> bool:
-    """True when the streaming Pallas kernel is the measured-faster search for
-    an `n_rows`-row database (>= the crossover; the dense score matrix also
-    stops fitting HBM around there)."""
-    return n_rows >= (PALLAS_KNN_MIN_ROWS if min_rows is None else min_rows)
+def use_streaming_knn(n_rows: int, min_rows: int | None = None,
+                      n_queries: int | None = None) -> bool:
+    """True when the streaming Pallas kernel is the measured-faster search:
+    either the database alone crosses the row threshold (the dense score
+    matrix also stops fitting HBM around there), or the QUERY batch is large
+    enough that the fused score+select with tuned tiles wins (the serving
+    regime — measured crossover constants above)."""
+    if n_rows >= (PALLAS_KNN_MIN_ROWS if min_rows is None else min_rows):
+        return True
+    return (n_queries is not None and n_queries >= PALLAS_KNN_MIN_QUERIES
+            and n_rows >= PALLAS_KNN_MIN_ROWS_BATCHED)
 
 
 def auto_exact_knn(queries: jnp.ndarray, database: jnp.ndarray, k: int,
                    min_rows: int | None = None):
     """Exact kNN with automatic engine selection: the dense matmul + top-k
-    below the measured crossover, the streaming Pallas kernel
-    (ops/pallas_knn) at or above it. Identical indices either way (equality
-    pinned in tests/test_pallas_knn.py); off-TPU the streaming path runs in
-    interpret mode so selection behavior is testable anywhere."""
-    if use_streaming_knn(database.shape[0], min_rows):
+    below the measured crossovers, the streaming Pallas kernel
+    (ops/pallas_knn) at or above them. Identical indices either way (equality
+    pinned in tests/test_pallas_kernels.py); off-TPU the streaming path runs
+    in interpret mode so selection behavior is testable anywhere."""
+    n, q = database.shape[0], queries.shape[0]
+    if use_streaming_knn(n, min_rows, n_queries=q):
         from retrieval_fuse_tpu.ops.pallas_knn import pallas_exact_knn
+        tile_q, tile_n = ((SERVING_KNN_TILES) if n < PALLAS_KNN_MIN_ROWS
+                          else (512, 2048))
         return pallas_exact_knn(queries, database, k,
+                                tile_n=tile_n, tile_q=tile_q,
                                 interpret=jax.default_backend() != "tpu")
     return exact_knn(queries, database, k)
 

@@ -228,3 +228,151 @@ def pallas_gathered_patch_attention(xt: jnp.ndarray, bank_rows: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((q, t_rows, f), xt.dtype),
         interpret=interpret,
     )(idx_flat, xt, *([bank_rows] * K), *w)
+
+
+# --------------------------------------------------------------------------
+# Fused-gather v2: multi-TILE grid blocks + double-buffered manual DMAs.
+#
+# The v1 'gathered' kernel above (one tile per grid step, index-map-driven
+# blocks) measured grid-overhead-bound at flagship shapes (1.19 ms/chunk at
+# Q=8192: 16 KB blocks are too small to amortize a grid step). v2 processes
+# GROUP tiles per step — the backbone rows arrive as one (GROUP, T, F)
+# pipelined block, and the GROUP·K retrieved bank rows are fetched by
+# explicit `pltpu.make_async_copy` from HBM into a two-slot VMEM scratch,
+# with step i+1's copies issued BEFORE step i's compute so the gather
+# streams behind the MXU. Replaces the packedrows path's XLA gather
+# (1.07 GB write) + K/t³ swap transpose (2.14 GB traffic) with the minimal
+# 1.07 GB of indexed reads — the attention complex measured 52% of serving
+# time (r5 ablation), almost all of it this layout work.
+
+
+def _gathered_kernel_v2(idx_ref, x_ref, bank_ref, *rest,
+                        K: int, group: int, sharpness: float, hard: bool,
+                        scale: float):
+    wr = rest[:16]
+    out_ref = rest[16]
+    p_buf, sems = rest[17], rest[18]
+    theta = {f"fc{i}": {"kernel": wr[2 * i][:], "bias": wr[2 * i + 1][:]} for i in range(3)}
+    theta["out"] = {"kernel": wr[6][:], "bias": wr[7][:]}
+    phi = {f"fc{i}": {"kernel": wr[8 + 2 * i][:], "bias": wr[9 + 2 * i][:]} for i in range(3)}
+    phi["out"] = {"kernel": wr[14][:], "bias": wr[15][:]}
+
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    def issue(step, slot):
+        # GROUP·K row fetches, each one contiguous (T, F) bank row (16 KB at
+        # flagship geometry) — started together so the DMA engines coalesce
+        for g in range(group):
+            for k in range(K):
+                row = idx_ref[(step * group + g) * K + k]
+                pltpu.make_async_copy(bank_ref.at[row],
+                                      p_buf.at[slot, g * K + k],
+                                      sems.at[slot, g * K + k]).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(i, 0)
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for g in range(group):
+        for k in range(K):
+            row = idx_ref[(i * group + g) * K + k]
+            pltpu.make_async_copy(bank_ref.at[row],
+                                  p_buf.at[slot, g * K + k],
+                                  sems.at[slot, g * K + k]).wait()
+
+    x = x_ref[:]                                     # (G, T, F)
+    g_, t, f = x.shape
+    gt = g_ * t
+    xr = x.reshape(gt, f)
+    x_feat = _mlp(xr, theta)                         # (GT, C) f32
+    x_feat = x_feat / jnp.maximum(
+        jnp.sqrt(jnp.sum(x_feat * x_feat, axis=1, keepdims=True)), 1e-12)
+
+    # ONE phi GEMM chain over every candidate row in the slot: p_buf[slot]
+    # is (G·K, T, F) g-major/k-minor, so reshape gives (g, k, t) row order
+    p = p_buf[slot]                                  # (G·K, T, F)
+    pf = _mlp(p.reshape(g_ * K * t, f), phi)
+    pf = pf / jnp.maximum(jnp.sqrt(jnp.sum(pf * pf, axis=1, keepdims=True)), 1e-12)
+    c = pf.shape[-1]
+    pf = pf.reshape(g_, K, t, c)
+
+    # per-candidate scores, K unrolled (K=4 shipped): VPU mult+lane-reduce
+    p4 = p.reshape(g_, K, t, f)
+    xf3 = x_feat.reshape(g_, t, c)
+    s = jnp.stack([jnp.sum(xf3 * pf[:, k], axis=-1) for k in range(K)],
+                  axis=-1).reshape(gt, K)            # (GT, K)
+
+    switch = jnp.maximum(jnp.max(s, axis=1, keepdims=True), 0.0)
+    if hard:
+        sel = jnp.argmax(s * scale, axis=1)
+        weights = jax.nn.one_hot(sel, K, dtype=jnp.float32)
+    else:
+        weights = jax.nn.softmax(sharpness * s, axis=1)
+    weights = weights.reshape(g_, t, K)
+
+    weighted = sum(weights[:, :, k][..., None] * p4[:, k].astype(jnp.float32)
+                   for k in range(K))                # (G, T, F) f32
+    out_ref[:] = (x.astype(jnp.float32) * (1.0 - switch.reshape(g_, t, 1))
+                  + weighted * switch.reshape(g_, t, 1)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "retrieval_mode", "sharpness",
+                                             "group", "interpret"))
+def pallas_gathered_patch_attention_v2(xt: jnp.ndarray, bank_rows: jnp.ndarray,
+                                       top_idx: jnp.ndarray,
+                                       theta_params: dict, phi_params: dict,
+                                       K: int, retrieval_mode: bool = True,
+                                       sharpness: float = 1024.0,
+                                       group: int = 16,
+                                       interpret: bool = False) -> jnp.ndarray:
+    """Fused gather + K-way patch attention, GROUP tiles per grid step.
+
+    xt: (Q, T, F) tile-major backbone patch rows; bank_rows: (N, T, F)
+    pre-packed bank tiles (pack_tile_rows); top_idx: (Q, K) int32. Returns
+    fused rows (Q, T, F) — value-identical to the packedrows path
+    (gather + swap + pallas_patch_attention), pinned in tests.
+
+    VMEM budget at flagship (T=64, F=128, bf16): p_buf 2·group·K·16 KB =
+    2 MB at group=16, plus 3 pipelined (group, T, F) x/out blocks — well
+    under the ~16 MB window at group<=32."""
+    q, t_rows, f = xt.shape
+    pad = (-q) % group
+    if pad:
+        xt = jnp.concatenate([xt, jnp.zeros((pad, t_rows, f), xt.dtype)], 0)
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((pad, K), top_idx.dtype)], 0)
+    qp = xt.shape[0]
+    idx_flat = top_idx.astype(jnp.int32).reshape(qp * K)  # SMEM: Q·K·4 B
+
+    w = []
+    for params in (theta_params, phi_params):
+        for layer in ("fc0", "fc1", "fc2", "out"):
+            w.append(jnp.asarray(params[layer]["kernel"], jnp.float32))
+            w.append(jnp.asarray(params[layer]["bias"], jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(qp // group,),
+        in_specs=[pl.BlockSpec((group, t_rows, f), lambda i, idx_ref: (i, 0, 0)),
+                  pl.BlockSpec(memory_space=pltpu.ANY)]  # bank stays in HBM
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_specs=pl.BlockSpec((group, t_rows, f), lambda i, idx_ref: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, group * K, t_rows, f), bank_rows.dtype),
+            pltpu.SemaphoreType.DMA((2, group * K)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gathered_kernel_v2, K=K, group=group,
+                          sharpness=sharpness, hard=retrieval_mode, scale=25.0),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qp, t_rows, f), xt.dtype),
+        interpret=interpret,
+    )(idx_flat, xt, bank_rows, *w)
+    return out[:q]

@@ -84,6 +84,15 @@ def create_dictionary(encode_fn, dictionary_config: dict, latent_dim: int, datas
 
     Parity: reference util/retrieval.py:29-55 (database layout, index.json,
     params.json, zero-patch row). Returns the database array.
+
+    Deliberately NOT emitted: the reference's FLANN kd-tree file
+    (`index_010_64_tree.idx`, util/retrieval.py:55). Exact matmul+top-k
+    search needs no side index — the embedding rows in database.npy ARE the
+    index — and a placeholder file would only turn reference tooling's
+    clear file-not-found into a confusing binary-parse error. Tooling that
+    insists on pyflann can rebuild the kd-tree from database[:, 7:] in one
+    `build_index` call; params.json records `algorithm: exact_matmul_topk`
+    so the difference is machine-detectable. (PARITY.md "deviations" #1a.)
     """
     tree_path = Path(tree_path)
     tree_path.mkdir(exist_ok=True, parents=True)

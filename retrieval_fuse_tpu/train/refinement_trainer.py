@@ -245,7 +245,7 @@ class RefinementTrainer:
         (ref :96-99)."""
         patches = unfold3d(batch["target"], 16)
         feats = self._apply(params, "retrieval_backbone", patches)
-        pred_patches = self._apply(params, "decoder", feats)
+        pred_patches = self._apply_decoder(params, feats)
         return fold3d(pred_patches, self.n_fold, 16)
 
     def forward_attention(self, params, batch):
@@ -764,12 +764,15 @@ class RefinementTrainer:
         combined_targets = ds.combine_targets()
         out = Path("runs") / self.config["experiment"] / f"vis_{out_tag}" / f"{self.global_step // 1000:05d}"
         out.mkdir(exist_ok=True, parents=True)
+        # use the handler matching the split being visualized — voxel geometry
+        # (sizes/means) can differ between splits in non-shipped configs
+        handler = self.scene_handlers.get(out_tag, self.scene_handlers["val"])
         for scene in combined_targets:
-            self.scene_handlers["val"].visualize_target_chunk(
+            handler.visualize_target_chunk(
                 combined_targets[scene].astype(np.float32), out / f"{scene}_gt.obj")
-            self.scene_handlers["val"].visualize_target_chunk(
+            handler.visualize_target_chunk(
                 combined_pred[scene].astype(np.float32), out / f"{scene}_fuse.obj")
-            self.scene_handlers["val"].visualize_input_chunk(
+            handler.visualize_input_chunk(
                 combined_inputs[scene].astype(np.float32), out / f"{scene}_input.obj")
         return out
 

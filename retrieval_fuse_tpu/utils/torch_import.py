@@ -22,6 +22,15 @@ def conv_w(t):
     return np.asarray(t).transpose(2, 3, 4, 1, 0)
 
 
+def conv_transpose_w(t):
+    """torch ConvTranspose3d weight (I, O, kD, kH, kW) -> the CORRELATION
+    kernel (kD, kH, kW, I, O) our TorchConvTranspose2x applies: transposed
+    convolution is correlation with the spatially FLIPPED kernel (and the
+    in/out axes in their natural contraction roles)."""
+    w = np.asarray(t).transpose(2, 3, 4, 0, 1)
+    return w[::-1, ::-1, ::-1].copy()
+
+
 def linear_w(t):
     return np.asarray(t).transpose(1, 0)
 
@@ -124,7 +133,7 @@ def import_unet3d(sd: dict) -> dict:
         sub = _strip(sd, f"decoders.{i}")
         dec = {"basic_module": _import_basic_module(_strip(sub, "basic_module"))}
         if "upsampling.upsample.weight" in sub:  # transposed-conv variant
-            dec["upconv"] = {"kernel": conv_w(sub["upsampling.upsample.weight"]),
+            dec["upconv"] = {"kernel": conv_transpose_w(sub["upsampling.upsample.weight"]),
                              "bias": np.asarray(sub["upsampling.upsample.bias"])}
         params[f"decoders_{i}"] = dec
     if "final_conv.weight" in sd:

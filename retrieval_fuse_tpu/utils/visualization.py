@@ -19,10 +19,16 @@ import numpy as np
 from retrieval_fuse_tpu.utils.misc import to_point_list
 
 
-def visualize_sdf_as_mesh(sdf: np.ndarray, output_path, level: float = 0.75, scale_factor: float = 1) -> None:
-    """TSDF -> OBJ via native isosurface extraction (ref util/visualization.py:35-38)."""
+def visualize_sdf_as_mesh(sdf: np.ndarray, output_path, level: float = 0.75,
+                          scale_factor: float = 1, method: str = "mc") -> None:
+    """TSDF -> OBJ via native isosurface extraction (ref util/visualization.py:35-38).
+
+    method='mc' (default) is the classic lookup-table triangulation the
+    reference extension uses; method='tets' is marching tetrahedra (same
+    isosurface, ~2-3x more triangles)."""
     from retrieval_fuse_tpu.native import marching_cubes, export_obj
-    vertices, triangles = marching_cubes(np.asarray(sdf, dtype=np.float32), float(level))
+    vertices, triangles = marching_cubes(np.asarray(sdf, dtype=np.float32),
+                                         float(level), method=method)
     vertices = vertices / scale_factor
     export_obj(vertices, triangles, output_path)
 

@@ -178,6 +178,19 @@ def test_packed_decoder_engine_equals_flax(setup):
     np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
 
 
+def test_compact_decoder_engine_equals_flax(setup):
+    """Serving with the Pallas compact packed decoder (in-VMEM im2col
+    conv2+head, the bench 'cdec' variant) must reproduce the flax-decoder
+    engine."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_c = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True,
+                                 use_packed_decoder="compact")
+    np.testing.assert_allclose(np.asarray(eng_c(x)), np.asarray(eng(x)), atol=3e-5)
+
+
 def test_fused_backbone_engine_equals_flax(setup):
     """Serving with the fused backbone (fused upsample-convs + decomposed
     final conv, the bench 'fbb' variant) must reproduce the flax engine."""
@@ -236,6 +249,50 @@ def test_pallas_packedrows_attention_engine_equals_flax(setup):
                                  use_feature_bank=True,
                                  use_pallas_attention="packedrows")
     np.testing.assert_allclose(np.asarray(eng_p(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_pallas_gathered2_attention_engine_equals_flax(setup):
+    """Serving with the v2 fused-gather attention kernel (GROUP tiles per
+    grid step, double-buffered manual bank-row DMAs — no XLA gather, no K/t³
+    swap) must reproduce the flax-module engine exactly (interpret mode on
+    CPU). The test Q exercises the group-padding path."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_g2 = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                  use_feature_bank=True,
+                                  use_pallas_attention="gathered2")
+    np.testing.assert_allclose(np.asarray(eng_g2(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_phibank_attention_engine_equals_flax(setup):
+    """Serving with the kernel-free phibank attention (phi MLP over the
+    static bank precomputed at engine build; serving = theta + small
+    phi-row gather + VPU score/hard-select + ONE selected-row gather per
+    output patch) must reproduce the flax-module engine exactly."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_pb = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                  use_feature_bank=True,
+                                  use_pallas_attention="phibank")
+    assert eng_pb.phi_bank.shape == (eng_pb.feature_bank.shape[0],
+                                     eng_pb.feature_bank.shape[1], 32)
+    np.testing.assert_allclose(np.asarray(eng_pb(x)), np.asarray(eng(x)), atol=2e-5)
+
+
+def test_packedrows_flat_gather_engine_equals_flax(setup):
+    """The 'flatg' packedrows variant (one flat take at idx·t³+t straight
+    into the kernel's (Q·t³, K, F) layout — no swap transpose) must
+    reproduce the flax-module engine exactly."""
+    params, db, bank, x = setup
+    eng = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                               use_feature_bank=True)
+    eng_f = RetrieveRefineEngine(CFG, params, db, bank, compute_dtype=jnp.float32,
+                                 use_feature_bank=True,
+                                 use_pallas_attention="packedrows",
+                                 packedrows_flat_gather=True)
+    np.testing.assert_allclose(np.asarray(eng_f(x)), np.asarray(eng(x)), atol=2e-5)
 
 
 def test_streaming_knn_engine_equals_dense(setup):

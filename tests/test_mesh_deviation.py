@@ -1,17 +1,21 @@
-"""Quantified error bounds for the two documented mesh-pipeline deviations
-(VERDICT round 1, item 8):
+"""Mesh-pipeline extraction/voxelization validation.
 
-1. marching TETRAHEDRA (native/marching_cubes.cpp) instead of the reference's
-   classic MC tables — same isosurface, different tessellation; bounded here
-   by vertex distance to analytic surfaces;
-2. sampling-based shell voxelization (evaluation/mesh.Mesh.voxelize_surface)
-   instead of trimesh's exact voxelizer — bounded here against the EXACT
-   cell set for an analytic sphere (cell intersects the sphere iff
-   min-corner-dist <= r <= max-corner-dist).
+1. isosurface extraction (native/marching_cubes.cpp): BOTH methods — 'mc'
+   (classic lookup-table triangulation, the reference extension's algorithm
+   and our default since r5) and 'tets' (marching tetrahedra) — are bounded
+   by vertex distance to analytic surfaces, and the classic-MC table (derived
+   programmatically by edge-loop tracing rather than transcribed) is
+   validated exhaustively: watertight + consistently oriented on random sign
+   grids that exercise all 254 non-trivial cell configurations including
+   ambiguous faces shared between cells;
+2. shell voxelization (evaluation/mesh.Mesh.voxelize_surface): the exact SAT
+   voxelizer is checked against the analytically EXACT cell set for a sphere
+   (cell intersects the sphere iff min-corner-dist <= r <= max-corner-dist);
+   the sampling fallback gets a regression floor.
 
-The bounds asserted here are recorded in PARITY.md; if either approximation
-drifts past them, metric parity with the reference pipeline is at risk and
-this file fails.
+The bounds asserted here are recorded in PARITY.md; if either path drifts
+past them, metric parity with the reference pipeline is at risk and this
+file fails.
 """
 
 import numpy as np
@@ -57,14 +61,80 @@ def uv_sphere_mesh(center=CENTER, r=R, n_theta=96, n_phi=192, phase=0.0):
     return Mesh(verts, np.array(faces, np.int64))
 
 
-def test_marching_tetrahedra_vertex_accuracy_sphere():
+@pytest.mark.parametrize("method", ["mc", "tets"])
+def test_marching_cubes_vertex_accuracy_sphere(method):
     """Every extracted vertex lies on the analytic sphere to within 0.05
     voxels (linear edge interpolation error ~h²/(8r) ≈ 0.006 here)."""
-    verts, tris = marching_cubes(sphere_sdf_grid(signed=True), 0.0)
+    verts, tris = marching_cubes(sphere_sdf_grid(signed=True), 0.0, method=method)
     assert len(verts) > 1000 and len(tris) > 1000
     err = np.abs(np.linalg.norm(verts - CENTER, axis=1) - R)
     assert err.max() < 0.05, f"max vertex error {err.max():.4f}"
     assert err.mean() < 0.01, f"mean vertex error {err.mean():.4f}"
+
+
+def _edge_counts(tris):
+    de = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    _, directed = np.unique(de, axis=0, return_counts=True)
+    _, undirected = np.unique(np.sort(de, axis=1), axis=0, return_counts=True)
+    return directed, undirected
+
+
+def test_classic_mc_watertight_oriented_all_configs():
+    """The derived classic-MC table, validated the strong way: on random ±1
+    grids whose border is held outside, the extracted surface must be closed
+    (every undirected edge in exactly 2 triangles) and consistently oriented
+    (every directed edge exactly once). 40 random 7³ grids contain ~8,600
+    interior cells — all 254 non-trivial configurations occur (asserted), and
+    every ambiguous-face pairing is exercised across neighboring cells, so a
+    single cracked or flipped case in the table fails this test."""
+    rng = np.random.default_rng(0)
+    seen = set()
+    for trial in range(40):
+        g = rng.choice([-1.0, 1.0], size=(7, 7, 7)).astype(np.float32)
+        g[[0, -1], :, :] = 1.0
+        g[:, [0, -1], :] = 1.0
+        g[:, :, [0, -1]] = 1.0
+        inside = g < 0.0
+        for x in range(6):
+            for y in range(6):
+                for z in range(6):
+                    cfg = 0
+                    for c in range(8):
+                        if inside[x + (c & 1), y + ((c >> 1) & 1), z + ((c >> 2) & 1)]:
+                            cfg |= 1 << c
+                    seen.add(cfg)
+        verts, tris = marching_cubes(g, 0.0, method="mc")
+        if len(tris) == 0:
+            continue
+        directed, undirected = _edge_counts(tris)
+        assert (undirected == 2).all(), f"trial {trial}: cracked surface"
+        assert (directed == 1).all(), f"trial {trial}: inconsistent winding"
+    assert len(seen) == 256, f"only {len(seen)} of 256 configs exercised"
+
+
+def test_classic_mc_vs_tets_same_surface_fewer_triangles():
+    """'mc' and 'tets' extract the SAME isosurface (mutual surface distance
+    within interpolation error) with the classic table's coarser
+    tessellation (~2-3x fewer triangles) and the same outward orientation
+    (signed volumes both ≈ the analytic sphere volume)."""
+    sdf = sphere_sdf_grid(signed=True)
+    v_mc, t_mc = marching_cubes(sdf, 0.0, method="mc")
+    v_tet, t_tet = marching_cubes(sdf, 0.0, method="tets")
+    assert len(t_mc) * 1.8 < len(t_tet), (len(t_mc), len(t_tet))
+
+    def signed_volume(v, t):
+        p = v[t]
+        return float(np.einsum("ij,ij->i", p[:, 0],
+                               np.cross(p[:, 1], p[:, 2])).sum() / 6.0)
+
+    analytic = 4.0 / 3.0 * np.pi * R ** 3
+    for v, t in ((v_mc, t_mc), (v_tet, t_tet)):
+        assert abs(signed_volume(v, t) - analytic) / analytic < 0.01
+    # mutual vertex->surface distance via the analytic sphere (both meshes
+    # are within 0.05 of it, so they are within 0.1 of each other)
+    for v in (v_mc, v_tet):
+        err = np.abs(np.linalg.norm(v - CENTER, axis=1) - R)
+        assert err.max() < 0.05
 
 
 def test_marching_tetrahedra_unsigned_df_double_shell():

@@ -147,6 +147,9 @@ def test_surface_recon_backbone_matches_reference():
     remove_n_final_layers=2 incl. the StepDownDoubleConv switch."""
     import model as ref_model
     nf = 4
+    # the reference module inits from torch's (unseeded) global RNG; pin it so
+    # the 2e-3 reduction-order tolerance below is deterministic, not per-run
+    torch.manual_seed(3)
     ref = ref_model.SurfaceReconstructionUNetBackbone(nf, num_levels=5, layer_order="gcr").eval()
     x = (np.random.default_rng(3).random((1, 128, 128, 128, 1)) < 0.02).astype(np.float32)
     with torch.no_grad():
@@ -160,6 +163,57 @@ def test_surface_recon_backbone_matches_reference():
     # handful of elements to ~1e-3 of values around 0.4 — structural parity
     # holds (a wrong channel plan or layer order diverges by O(1))
     np.testing.assert_allclose(out_ours, out_ref, atol=2e-3, rtol=1e-4)
+
+
+def _ref_residual_unet3d(**kwargs):
+    """Reference ResidualUNet3D with its latent vendored bug shimmed: the
+    reference's Encoder/Decoder pass `encoder=True/False` to every
+    basic_module (model/unet.py:243, :292), but its ExtResNetBlock.__init__
+    (:171) doesn't accept the kwarg — the residual family is dead code
+    upstream, raising TypeError on construction. The shim drops the kwarg
+    (ExtResNetBlock is encoder/decoder-symmetric by design, matching
+    upstream pytorch-3dunet), giving the evidently intended semantics to
+    value-test against."""
+    import model.unet as ref_unet
+
+    class PatchedExtResNetBlock(ref_unet.ExtResNetBlock):
+        def __init__(self, in_channels, out_channels, encoder=None, **kw):
+            del encoder
+            super().__init__(in_channels, out_channels, **kw)
+
+    return ref_unet.Abstract3DUNet(basic_module=PatchedExtResNetBlock,
+                                   final_sigmoid=False, **kwargs)
+
+
+def test_residual_unet3d_matches_reference():
+    """ResidualUNet3D family (VERDICT r4 item 7): ExtResNetBlock encoders,
+    transposed-conv upsampling (TorchConvTranspose2x — the exact correlation
+    form of torch ConvTranspose3d(k=3, s=2, p=1, output_size=2D)), summation
+    joining. Weights imported via import_unet3d's upconv branch, value parity
+    vs the reference torch module (ref model/unet.py:540-555, 313-339)."""
+    ref = _ref_residual_unet3d(in_channels=1, out_channels=4,
+                               f_maps=8, layer_order="cge", num_groups=4,
+                               num_levels=3, is_segmentation=False,
+                               final_conv=True).eval()
+    x = np.random.default_rng(6).standard_normal((2, 16, 16, 16, 1)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = to_last(ref(nchw(x)))
+    from retrieval_fuse_tpu.models.unet import ResidualUNet3D
+    from retrieval_fuse_tpu.utils.torch_import import import_unet3d
+    ours = ResidualUNet3D(out_channels=4, f_maps=8, layer_order="cge",
+                          num_groups=4, num_levels=3, final_conv=True)
+    params = import_unet3d(sd_numpy(ref))
+    out_ours = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    assert out_ours.shape == out_ref.shape == (2, 16, 16, 16, 4)
+    np.testing.assert_allclose(out_ours, out_ref, atol=5e-4, rtol=1e-4)
+
+
+# NOTE: final_conv=False + residual basic module is unbuildable in the
+# reference even past the kwarg shim — summation joining adds the skip (f_maps
+# channels) to the modified last decoder's out_channels (model/unet.py:308
+# RuntimeError), so only the final_conv=True residual configuration has
+# reference semantics to pin. Our Decoder mirrors the same channel plan and
+# fails the same shape check — parity extends to the unbuildable combination.
 
 
 def test_retrieval_backbone_matches_reference():

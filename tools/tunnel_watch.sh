@@ -1,11 +1,12 @@
 #!/bin/bash
 # Probe the TPU tunnel every PERIOD seconds; on the first healthy probe,
-# fire tools/measure_queue.sh. Bounded by MAX_WAIT so it never outlives a
-# session. Usage: bash tools/tunnel_watch.sh [logdir]
+# fire $QUEUE (default tools/measure_queue.sh). Bounded by MAX_WAIT so it
+# never outlives a session. Usage: bash tools/tunnel_watch.sh [logdir]
 set -u
 LOG=${1:-/tmp/measure_r4}
 PERIOD=${PERIOD:-300}
 MAX_WAIT=${MAX_WAIT:-2700}
+QUEUE=${QUEUE:-tools/measure_queue.sh}
 mkdir -p "$LOG"
 cd "$(dirname "$0")/.."
 start=$(date +%s)
@@ -16,7 +17,7 @@ while true; do
   if timeout 240 python tools/tpu_probe.py >"$LOG/probe_$n.log" 2>&1 \
      && grep -q PROBE_OK "$LOG/probe_$n.log"; then
     echo "tunnel healthy — firing measure queue" | tee -a "$LOG/watch.log"
-    bash tools/measure_queue.sh "$LOG"
+    bash "$QUEUE" "$LOG"
     exit 0
   fi
   tail -1 "$LOG/probe_$n.log" | tee -a "$LOG/watch.log"
